@@ -1,0 +1,117 @@
+"""Dataset-level findings and run metrics — the reference's
+column-granularity issues and summary, Spark-shaped.
+
+* ``column_findings`` reproduces the reference's dataset-level issue
+  records with their exact severity tiers:
+    - missing_values per column  (>50% high, >20% medium else low —
+      validator.py:84-99)
+    - duplicates                 (>10% high else medium — validator.py:101-113)
+    - outliers                   (>10% high else medium — validator.py:270-294)
+    - empty_strings              (low — validator.py:296-307)
+    - string_length_variation    (max>10·min and max>100, low —
+      validator.py:309-324)
+  All counts come from ONE aggregate pass (the reference makes ~10 passes).
+
+* ``summary`` is the severity/rule histogram over per-clip findings
+  (validator.py:326-341).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..schema import COLUMN_FINDINGS_SCHEMA
+
+
+def _missing_severity(pct: float, cfg: PipelineConfig) -> str:
+    # validator.py:92
+    return (
+        "high"
+        if pct > cfg.missing_high_pct
+        else "medium" if pct > cfg.missing_medium_pct else "low"
+    )
+
+
+def column_findings(
+    spark: SparkSession,
+    clips: DataFrame,
+    decisions: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """One aggregate pass over clips (+ one over decisions for dup/outlier
+    counts) → dataset-level findings rows."""
+    check_cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in check_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null__{c}"))
+    aggs.append(F.sum((F.col("transcript") == "").cast("long")).alias("empty__transcript"))
+    aggs.append(F.min(F.length("transcript")).alias("len_min"))
+    aggs.append(F.max(F.length("transcript")).alias("len_max"))
+    stats = clips.agg(*aggs).first()
+    n_rows = stats["_rows"] or 0
+
+    dup_out = decisions.agg(
+        F.sum(F.array_contains("rules_fired", "duplicate").cast("long")).alias("dups"),
+        F.sum(F.array_contains("rules_fired", "dur_outlier").cast("long")).alias("outliers"),
+    ).first()
+
+    rows: list[tuple] = []
+    if n_rows:
+        for c in check_cols:
+            miss = stats[f"null__{c}"] or 0
+            if miss > 0:
+                pct = 100.0 * miss / n_rows
+                rows.append(
+                    (
+                        "missing_values",
+                        c,
+                        _missing_severity(pct, cfg),
+                        float(miss),
+                        f"Column '{c}' has {miss} missing values ({pct:.1f}%)",
+                    )
+                )
+        dups = dup_out["dups"] or 0
+        if dups:
+            pct = 100.0 * dups / n_rows
+            sev = "high" if pct > cfg.duplicate_high_pct else "medium"  # validator.py:107
+            rows.append(
+                ("duplicates", None, sev, float(dups), f"Found {dups} duplicate rows ({pct:.1f}% of dataset)")
+            )
+        outl = dup_out["outliers"] or 0
+        if outl:
+            pct = 100.0 * outl / n_rows
+            sev = "high" if pct > cfg.outlier_high_pct else "medium"  # validator.py:287
+            rows.append(
+                ("outliers", "dur_ms", sev, float(outl), f"Column 'dur_ms' has {outl} outlier(s) ({pct:.1f}%)")
+            )
+        empties = stats["empty__transcript"] or 0
+        if empties:
+            rows.append(
+                (
+                    "empty_strings",
+                    "transcript",
+                    "low",
+                    float(empties),
+                    f"Column 'transcript' contains {empties} empty string(s)",
+                )
+            )
+        lmin, lmax = stats["len_min"], stats["len_max"]
+        # validator.py:318
+        if lmin is not None and lmax is not None and lmax > lmin * 10 and lmax > 100:
+            rows.append(
+                (
+                    "string_length_variation",
+                    "transcript",
+                    "low",
+                    float(lmax),
+                    f"Column 'transcript' has high variation in string lengths (min: {lmin}, max: {lmax})",
+                )
+            )
+    return spark.createDataFrame(rows, COLUMN_FINDINGS_SCHEMA)
+
+
+def summary(findings: DataFrame) -> DataFrame:
+    """Severity × rule histogram (validator.py:326-341 analog)."""
+    return findings.groupBy("severity", "rule").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,95 @@
+"""Operator unit tests, mirroring the reference's per-check test classes
+(/root/reference/tests/test_validator.py structure)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.config import DEFAULT_CONFIG
+from data_quality_checker_spark.operators.dedup import sha1_expr, with_duplicate_flag
+from data_quality_checker_spark.operators.outliers import iqr_bounds
+from data_quality_checker_spark.operators.rules import build_rules
+from data_quality_checker_spark.oracle.pandas_oracle import RULES as ORACLE_RULES
+from data_quality_checker_spark.oracle.pandas_oracle import scrub_text
+
+
+def test_rules_registry_matches_oracle(spark):
+    """The Spark rule table and the oracle rule table must agree on names,
+    severities and drop semantics — parity by construction."""
+    rules = build_rules(DEFAULT_CONFIG, dur_bounds=(0.0, 1.0))
+    assert {r.name for r in rules} == set(ORACLE_RULES)
+    for r in rules:
+        sev, drops = ORACLE_RULES[r.name]
+        assert (r.severity, r.drops) == (sev, drops), r.name
+
+
+def test_dedup_keeps_min_clip_id(spark):
+    rows = [
+        ("c3", b"xxx"),
+        ("c1", b"xxx"),
+        ("c2", b"xxx"),
+        ("c9", b"yyy"),
+        ("c0", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary").select(
+        "clip_id", sha1_expr("bytes").alias("sha")
+    )
+    out = {
+        r["clip_id"]: r["is_duplicate"]
+        for r in with_duplicate_flag(df).collect()
+    }
+    assert out == {"c1": False, "c2": True, "c3": True, "c9": False, "c0": False}
+
+
+def test_dedup_skewed_hot_key(spark):
+    """10k copies of one payload + singletons — the salted two-phase agg
+    must still keep exactly the minimum clip_id."""
+    hot = [(f"h{i:05d}", "HOTSHA") for i in range(10_000)]
+    cold = [(f"z{i:03d}", f"sha{i}") for i in range(50)]
+    df = spark.createDataFrame(hot + cold, "clip_id string, sha string")
+    out = with_duplicate_flag(df)
+    kept = out.filter(~F.col("is_duplicate")).select("clip_id").collect()
+    kept_ids = {r["clip_id"] for r in kept}
+    assert "h00000" in kept_ids
+    assert len(kept_ids) == 51  # 1 hot keeper + 50 singletons
+
+
+def test_iqr_bounds_match_pandas(spark):
+    vals = [float(v) for v in [10, 12, 14, 16, 18, 20, 400]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = iqr_bounds(df, "x", mult=1.5, min_rows=5)
+    s = pd.Series(vals)
+    q1, q3 = s.quantile(0.25), s.quantile(0.75)
+    iqr = q3 - q1
+    assert got == pytest.approx((q1 - 1.5 * iqr, q3 + 1.5 * iqr))
+
+
+def test_iqr_bounds_guards(spark):
+    # fewer than 5 non-null values → None (validator.py:273)
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    assert iqr_bounds(df, "x") is None
+    # IQR == 0 → None (validator.py:278)
+    df2 = spark.createDataFrame([(5.0,)] * 10, "x double")
+    assert iqr_bounds(df2, "x") is None
+
+
+def test_scrub_email_and_phone():
+    assert scrub_text("mail bob.smith@example.com now") == "mail <EMAIL> now"
+    assert scrub_text("call 555-123-4567 now") == "call <PHONE> now"
+    # too few digits → left alone (validator.py:207-208 digit-count rule)
+    assert scrub_text("call 12-34 now") == "call 12-34 now"
+    # too many digits (>15) → left alone
+    assert scrub_text("id 12345678901234567890") == "id 12345678901234567890"
+    assert scrub_text("what the frak") == "what the <TOX>"
+
+
+def test_enriched_plan_prunes_bytes(spark, clips_df):
+    """Text-only rule subtrees must not read the heavy binary column:
+    decisions minus audio columns should produce a scan without `bytes`."""
+    slim = clips_df.select("clip_id", "transcript").filter(
+        F.length("transcript") < DEFAULT_CONFIG.min_transcript_chars
+    )
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "bytes" not in plan
