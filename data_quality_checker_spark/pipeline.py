@@ -55,9 +55,30 @@ def decide(
     enriched: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     dur_bounds: tuple[float, float] | None = None,
+    clips: DataFrame | None = None,
 ) -> DataFrame:
-    """Rules over the enriched frame → per-clip decisions."""
-    flagged = with_duplicate_flag(enriched, cfg)
+    """Rules over the enriched frame → per-clip decisions.
+
+    When ``clips`` is given, the dedup keeper aggregation is computed from
+    the RAW frame (clip_id + sha1(bytes) — pure JVM, column-pruned scan)
+    instead of from ``enriched`` — otherwise an unpersisted ``enriched``
+    lineage would re-run the Arrow UDF pass a second time just to find
+    keepers.
+    """
+    if clips is not None:
+        from .operators.dedup import keepers_by_sha
+
+        hashed = clips.select("clip_id", sha1_expr("bytes").alias("sha"))
+        keepers = keepers_by_sha(hashed, cfg)
+        flagged = enriched.join(keepers, on="sha", how="left").withColumn(
+            "is_duplicate",
+            F.when(
+                F.col("sha").isNotNull() & (F.col("clip_id") != F.col("keeper_clip_id")),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        ).drop("keeper_clip_id")
+    else:
+        flagged = with_duplicate_flag(enriched, cfg)
     rules = build_rules(cfg, dur_bounds)
     return flagged.select(
         "clip_id",
@@ -86,9 +107,9 @@ def findings_from_decisions(decisions: DataFrame, cfg: PipelineConfig = DEFAULT_
 class PipelineResult:
     decisions: DataFrame
     findings: DataFrame
-    column_findings: DataFrame
     summary: DataFrame
     dur_bounds: tuple[float, float] | None
+    column_findings: DataFrame | None = None
 
 
 def run_pipeline(
@@ -96,9 +117,15 @@ def run_pipeline(
     clips: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     persist: bool = True,
+    with_column_findings: bool = False,
 ) -> PipelineResult:
     """End-to-end in-session run (tests / entry point). The spark-submit
-    job with lineage/resume lives in run/job.py and shares these stages."""
+    job with lineage/resume lives in run/job.py and shares these stages.
+
+    ``with_column_findings`` triggers two extra eager aggregate passes
+    (the reference's dataset-level issue records) — off by default so the
+    lazy decisions/findings plans stay the only corpus scans.
+    """
     # tiny pre-pass: exact IQR fence over dur_ms only (column-pruned scan)
     bounds = iqr_bounds(
         clips, "dur_ms", cfg.outlier_iqr_mult, cfg.outlier_min_rows
@@ -106,8 +133,12 @@ def run_pipeline(
     enriched = enrich(clips, cfg)
     if persist:
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
-    decisions = decide(enriched, cfg, bounds)
+    decisions = decide(enriched, cfg, bounds, clips=clips)
     findings = findings_from_decisions(decisions, cfg)
-    col_findings = metrics_ops.column_findings(spark, clips, decisions, cfg)
     summ = metrics_ops.summary(findings)
-    return PipelineResult(decisions, findings, col_findings, summ, bounds)
+    col_findings = (
+        metrics_ops.column_findings(spark, clips, decisions, cfg)
+        if with_column_findings
+        else None
+    )
+    return PipelineResult(decisions, findings, summ, bounds, col_findings)

@@ -1,0 +1,1053 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md §2 (plus the training-data-pipeline extensions) as a
+(Spark-DataFrame builder, DuckDB oracle SQL) pair over the driver's
+testdata tables.
+
+Conventions that make the cross-engine value-hash match:
+
+* every computed column is aliased identically on both sides;
+* doubles are ``round(x, n)``-ed on both sides (n chosen so engine fp
+  noise cannot flip the rounded digit);
+* integer-ish computed columns are cast to BIGINT on both sides (Spark
+  ``size``/``length`` are INT, DuckDB's are BIGINT);
+* exact decimal sums: ``sum(cast(x as decimal(18,2)))`` on both sides —
+  bit-identical regardless of summation order — then cast to double;
+* all orderings / top-k have total tie-breakers;
+* hashes use the engine-portable 60-bit md5 prefix
+  (operators/text.portable_hash64).
+
+SURVEY §2 ids are cited per query; /root/reference file:line pins are in
+the operator modules' docstrings.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import ann, simdedup, text as text_ops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ===========================================================================
+# Aggregations / filters over the relational testdata (SURVEY §2.2, §2.4)
+# ===========================================================================
+
+@register(
+    "null_counts",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props
+    FROM events
+    """,
+)
+def q_null_counts(spark, sf_dir):
+    """A1/P1 — per-column null-count aggregate in ONE pass
+    (validator.py:84-99; the reference scans once per column)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("null_user_id"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("null_value"),
+        F.sum(F.col("props").isNull().cast("bigint")).alias("null_props"),
+    )
+
+
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+@register(
+    "dup_full_rows",
+    f"""
+    SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS dup_rows
+    FROM (SELECT count(*) AS cnt FROM lineitem
+          GROUP BY {', '.join(_LINEITEM_COLS)})
+    """,
+)
+def q_dup_full_rows(spark, sf_dir):
+    """A2 — full-row duplicate count (validator.py:101-113) as a single
+    groupBy-all aggregation (partial+final, no driver collect)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(*_LINEITEM_COLS)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("bigint").alias("dup_rows"))
+    )
+
+
+@register(
+    "key_dup_count",
+    """
+    SELECT count(*) - count(DISTINCT l_orderkey) AS key_dups,
+           count(DISTINCT l_orderkey) AS n_keys
+    FROM lineitem
+    """,
+)
+def q_key_dup_count(spark, sf_dir):
+    """A4 — key-duplicate count (unique rule, validation_rules.py:176-193)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey")).alias("key_dups"),
+        F.countDistinct("l_orderkey").alias("n_keys"),
+    )
+
+
+@register(
+    "quantiles_price",
+    """
+    SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS q1,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS median,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS q3
+    FROM orders
+    """,
+)
+def q_quantiles_price(spark, sf_dir):
+    """A5 — exact linear-interpolation quantiles (validator.py:244-254;
+    pandas-exact parity per SURVEY §4.3 — `percentile`, not approx)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+
+
+@register(
+    "outlier_count_iqr",
+    """
+    WITH b AS (
+      SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
+      FROM orders
+    )
+    SELECT round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+           round(q3 + 1.5 * (q3 - q1), 4) AS hi,
+           (SELECT count(*) FROM orders, b
+             WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
+                OR o_totalprice > q3 + 1.5 * (q3 - q1)) AS n_outliers
+    FROM b
+    """,
+)
+def q_outlier_count_iqr(spark, sf_dir):
+    """A6 — IQR·1.5 fence outlier count (validator.py:270-294): tiny
+    quantile pre-pass broadcast-joined into the scan (two jobs, no
+    collect-loop)."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    j = o.crossJoin(F.broadcast(b))
+    return (
+        j.agg(
+            F.round(F.first(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("lo"),
+            F.round(F.first(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("hi"),
+            F.sum(
+                (
+                    (F.col("o_totalprice") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+                    | (F.col("o_totalprice") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "strlen_stats",
+    """
+    SELECT CAST(min(length(text)) AS BIGINT) AS len_min,
+           CAST(max(length(text)) AS BIGINT) AS len_max,
+           round(avg(CAST(length(text) AS DOUBLE)), 4) AS len_avg,
+           (max(length(text)) > 10 * min(length(text)) AND max(length(text)) > 100)
+             AS high_variation
+    FROM documents
+    """,
+)
+def q_strlen_stats(spark, sf_dir):
+    """A7 — string-length min/max + the reference's variation rule
+    (validator.py:309-324: max>10·min and max>100)."""
+    d = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return d.agg(
+        F.min(ln).cast("bigint").alias("len_min"),
+        F.max(ln).cast("bigint").alias("len_max"),
+        F.round(F.avg(ln.cast("double")), 4).alias("len_avg"),
+        ((F.max(ln) > 10 * F.min(ln)) & (F.max(ln) > 100)).alias("high_variation"),
+    )
+
+
+@register(
+    "range_check_quantity",
+    """
+    SELECT sum(CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END) AS below_min,
+           sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS above_max,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_range_check_quantity(spark, sf_dir):
+    """A10 — range_check rule (validation_rules.py:87-119): counts below
+    min / above max in one pass; null-safe (null never counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum((F.col("l_quantity") < 5).cast("bigint")).alias("below_min"),
+        F.sum((F.col("l_quantity") > 45).cast("bigint")).alias("above_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "format_check_props",
+    r"""
+    SELECT sum(CASE WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+                    THEN 1 ELSE 0 END) AS n_bad,
+           count(*) AS n_rows
+    FROM events
+    """,
+)
+def q_format_check_props(spark, sf_dir):
+    """A11/F1 — format (regex mismatch) count, the email/phone format rule
+    shape (validation_rules.py:121-158) bound to events.props."""
+    e = _t(spark, sf_dir, "events")
+    pat = r'^\{"k": [0-9]+\}$'
+    return e.agg(
+        F.sum((~F.col("props").rlike(pat)).cast("bigint")).alias("n_bad"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "distinct_cards",
+    """
+    SELECT count(DISTINCT l_partkey) AS parts,
+           count(DISTINCT l_suppkey) AS supps,
+           count(DISTINCT l_orderkey) AS orders
+    FROM lineitem
+    """,
+)
+def q_distinct_cards(spark, sf_dir):
+    """A12 — cardinality (nunique, ml_advisor.py:141) — exact here; at
+    10^12 rows flip to approx_count_distinct and document the ε."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.countDistinct("l_orderkey").alias("orders"),
+    )
+
+
+@register(
+    "top_class_share",
+    """
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         t AS (SELECT count(*) AS total FROM documents)
+    SELECT lang AS top_lang, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+    FROM c, t
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, lang ASC) = 1
+    """,
+)
+def q_top_class_share(spark, sf_dir):
+    """A13 — dominant-class share (ml_advisor.py:134-162 imbalance check;
+    the langid dominant-language metric)."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).alias("total"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("lang"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("lang").alias("top_lang"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "corr_pairs",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+    FROM lineitem
+    """,
+)
+def q_corr_pairs(spark, sf_dir):
+    """A14 — pairwise Pearson correlation (ml_advisor.py:184-198)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
+@register(
+    "column_moments",
+    """
+    SELECT round(min(o_totalprice), 4) AS price_min,
+           round(max(o_totalprice), 4) AS price_max,
+           round(avg(o_totalprice), 4) AS price_avg,
+           round(stddev(o_totalprice), 3) AS price_std
+    FROM orders
+    """,
+)
+def q_column_moments(spark, sf_dir):
+    """A15/A16 — column moments incl. stddev (ml_advisor.py:261-275)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.min("o_totalprice"), 4).alias("price_min"),
+        F.round(F.max("o_totalprice"), 4).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 4).alias("price_avg"),
+        F.round(F.stddev("o_totalprice"), 3).alias("price_std"),
+    )
+
+
+@register(
+    "groupby_day",
+    """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_groupby_day(spark, sf_dir):
+    """A19 — group-by-day counts (metrics.py:58-69). avg computed as
+    exact-decimal sum / count so it is bit-identical cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
+    )
+
+
+@register(
+    "groupby_source",
+    """
+    SELECT source, count(*) AS n, round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_groupby_source(spark, sf_dir):
+    """A20 — group-by-format counts (metrics.py:72-81; the per-codec
+    metric shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "event_type_hist",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_event_type_hist(spark, sf_dir):
+    """A21 — histogram group-by (metrics.py:121-128 severity histogram)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "minmax_ts",
+    """
+    SELECT min(ts) AS first_ts, max(ts) AS last_ts,
+           CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT)
+             AS span_days
+    FROM events
+    """,
+)
+def q_minmax_ts(spark, sf_dir):
+    """A22/F10 — min/max timestamp + date arithmetic (metrics.py:114-115,
+    comparison.py:122-126)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).cast("bigint").alias("span_days"),
+    )
+
+
+# ===========================================================================
+# Sorts / limits / windows (SURVEY §2.5)
+# ===========================================================================
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk_orders(spark, sf_dir):
+    """W1 — order-by + limit → TakeOrderedAndProject top-k (no global
+    sort materialization); total tie-break for determinism."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "pagination",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+)
+def q_pagination(spark, sf_dir):
+    """W2 — offset pagination (history.py:59-88), native OFFSET (Spark ≥3.4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(100).limit(20)
+    )
+
+
+@register(
+    "window_rank",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+          FROM lineitem WHERE l_orderkey < 1000)
+    WHERE rn = 1
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """W3 — deterministic first-k per group via row_number (the Spark
+    replacement for the reference's order-dependent caps, SURVEY §4.3)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3) and set ops (§2.6)
+# ===========================================================================
+
+@register(
+    "join_fk_count",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+    """,
+)
+def q_join_fk_count(spark, sf_dir):
+    """J1 — FK equi-join + time-window filter (metrics.py:48-52). The
+    filtered orders side is small → broadcast; revenue summed in exact
+    decimal so the result is order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "join_left_agg",
+    """
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey < 200
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left_agg(spark, sf_dir):
+    """J2 — the summary-view left join + conditional agg
+    (dev_create_check_summary_view.py:12-25)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spent"),
+    )
+
+
+@register(
+    "nation_rollup",
+    """
+    SELECT n_name, count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS avg_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_nation_rollup(spark, sf_dir):
+    """J3-shape — dim join (broadcast: nation is tiny) + rollup agg."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "compare_days",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+    ), days AS (
+      SELECT min(day) AS day_a, max(day) AS day_b FROM daily
+    )
+    SELECT e.event_type,
+           coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b,
+           coalesce(b.cnt, 0) - coalesce(a.cnt, 0) AS delta,
+           round(CAST(coalesce(b.cnt, 0) - coalesce(a.cnt, 0) AS DOUBLE)
+                 / greatest(coalesce(a.cnt, 0), 1) * 100, 4) AS pct_change
+    FROM (SELECT DISTINCT event_type FROM events) e
+    LEFT JOIN (SELECT event_type, cnt FROM daily, days WHERE day = day_a) a
+           ON e.event_type = a.event_type
+    LEFT JOIN (SELECT event_type, cnt FROM daily, days WHERE day = day_b) b
+           ON e.event_type = b.event_type
+    """,
+)
+def q_compare_days(spark, sf_dir):
+    """J4/A24 — the run-compare math (comparison.py:57-96): two period
+    histograms diffed with the reference's max(x,1) division guard
+    (comparison.py:80)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    days = daily.agg(F.min("day").alias("day_a"), F.max("day").alias("day_b"))
+    types = e.select("event_type").distinct()
+    a = (
+        daily.join(F.broadcast(days), daily.day == days.day_a)
+        .select("event_type", F.col("cnt").alias("cnt_a_raw"))
+    )
+    b = (
+        daily.join(F.broadcast(days), daily.day == days.day_b)
+        .select("event_type", F.col("cnt").alias("cnt_b_raw"))
+    )
+    out = (
+        types.join(a, "event_type", "left")
+        .join(b, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("cnt_a_raw", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b_raw", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_b") - F.col("cnt_a")).alias("delta"),
+        F.round(
+            (F.col("cnt_b") - F.col("cnt_a")).cast("double")
+            / F.greatest(F.col("cnt_a"), F.lit(1))
+            * 100,
+            4,
+        ).alias("pct_change"),
+    )
+
+
+@register(
+    "trend_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+    ), latest AS (SELECT max(day) AS last_day FROM daily)
+    SELECT d.event_type,
+           sum(CASE WHEN d.day = last_day THEN d.cnt ELSE 0 END) AS current_cnt,
+           round(CAST(sum(CASE WHEN d.day <> last_day THEN d.cnt ELSE 0 END) AS DOUBLE)
+                 / greatest(count(CASE WHEN d.day <> last_day THEN 1 END), 1), 4)
+             AS baseline_avg,
+           CASE
+             WHEN sum(CASE WHEN d.day = last_day THEN d.cnt ELSE 0 END)
+                  < 0.9 * (CAST(sum(CASE WHEN d.day <> last_day THEN d.cnt ELSE 0 END) AS DOUBLE)
+                           / greatest(count(CASE WHEN d.day <> last_day THEN 1 END), 1))
+               THEN 'improving'
+             WHEN sum(CASE WHEN d.day = last_day THEN d.cnt ELSE 0 END)
+                  > 1.1 * (CAST(sum(CASE WHEN d.day <> last_day THEN d.cnt ELSE 0 END) AS DOUBLE)
+                           / greatest(count(CASE WHEN d.day <> last_day THEN 1 END), 1))
+               THEN 'degrading'
+             ELSE 'stable'
+           END AS trend
+    FROM daily d, latest
+    GROUP BY d.event_type
+    """,
+)
+def q_trend_daily(spark, sf_dir):
+    """J5/A24 — trend vs history window with the ±10% band
+    (comparison.py:158-186), per event type."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    latest = daily.agg(F.max("day").alias("last_day"))
+    d = daily.crossJoin(F.broadcast(latest))
+    cur = F.sum(F.when(F.col("day") == F.col("last_day"), F.col("cnt")).otherwise(0))
+    base_sum = F.sum(F.when(F.col("day") != F.col("last_day"), F.col("cnt")).otherwise(0))
+    base_n = F.greatest(
+        F.count(F.when(F.col("day") != F.col("last_day"), F.lit(1))), F.lit(1)
+    )
+    baseline = base_sum.cast("double") / base_n
+    return d.groupBy("event_type").agg(
+        cur.alias("current_cnt"),
+        F.round(baseline, 4).alias("baseline_avg"),
+        F.when(cur < 0.9 * baseline, "improving")
+        .when(cur > 1.1 * baseline, "degrading")
+        .otherwise("stable")
+        .alias("trend"),
+    )
+
+
+@register(
+    "set_ops_users",
+    """
+    SELECT
+      (SELECT count(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         UNION SELECT user_id FROM events WHERE event_type = 'error')) AS n_union,
+      (SELECT count(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         INTERSECT SELECT user_id FROM events WHERE event_type = 'error')) AS n_intersect,
+      (SELECT count(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         EXCEPT SELECT user_id FROM events WHERE event_type = 'error')) AS n_except
+    """,
+)
+def q_set_ops_users(spark, sf_dir):
+    """§2.6 — union / intersect / except (absent in the reference; the
+    findings-table unionByName pattern exercised as set algebra)."""
+    e = _t(spark, sf_dir, "events")
+    signup = e.where(F.col("event_type") == "signup").select("user_id")
+    error = e.where(F.col("event_type") == "error").select("user_id")
+    u = signup.union(error).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    i = signup.intersect(error).agg(F.count(F.lit(1)).alias("n_intersect"))
+    x = signup.subtract(error).agg(F.count(F.lit(1)).alias("n_except"))
+    return u.crossJoin(i).crossJoin(x)
+
+
+# ===========================================================================
+# Training-data pipeline: text analysis over `documents`
+# ===========================================================================
+
+@register(
+    "doc_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+    FROM documents
+    """,
+)
+def q_doc_token_counts(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish estimate) — operators/text.py."""
+    d = _t(spark, sf_dir, "documents")
+    out = text_ops.token_counts(d)
+    return out.select("doc_id", F.col("n_tokens").cast("bigint"), "n_subword_est")
+
+
+_STOPWORDS_SQL = "','".join(text_ops.EN_STOPWORDS)
+
+
+@register(
+    "doc_quality",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               AS n_spaces,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> lower(t) IN ('{_STOPWORDS_SQL}'))) AS DOUBLE)
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_alpha / n_chars, 6) AS alpha_ratio,
+           round(n_stop / n_tokens, 6) AS stop_ratio,
+           round((n_chars - n_spaces) / n_tokens, 6) AS mean_tok_len,
+           round(0.5 * (n_alpha / n_chars)
+                 + 0.3 * least(n_stop / n_tokens * 4, 1.0)
+                 + 0.2 * (CASE WHEN (n_chars - n_spaces) / n_tokens BETWEEN 3 AND 9
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM f
+    """,
+)
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring from length/punct/stopword ratios — operators/text.py."""
+    d = _t(spark, sf_dir, "documents")
+    out = text_ops.quality_scores(d)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+
+
+@register(
+    "doc_langid",
+    rf"""
+    WITH f AS (
+      SELECT doc_id, lang AS lang_label,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> lower(t) IN ('{_STOPWORDS_SQL}'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS ratio
+      FROM documents
+    )
+    SELECT doc_id, lang_label, round(ratio, 6) AS stop_ratio,
+           CASE WHEN ratio >= 0.04 THEN 'en' ELSE 'und' END AS lang_pred
+    FROM f
+    """,
+)
+def q_doc_langid(spark, sf_dir):
+    """Stopword-heuristic language ID — operators/text.py (SQL sibling of
+    the hashed-n-gram langid UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.langid_heuristic(d)
+
+
+@register(
+    "doc_fingerprints",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos, text
+      FROM documents WHERE length(text) >= 8
+    )
+    SELECT doc_id,
+           min(('0x' || substr(md5(substr(text, pos, 8)), 1, 15))::BIGINT) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting (min-hash of rolling 8-gram shingles) —
+    operators/text.py."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.fingerprints(d, k=8)
+
+
+# ===========================================================================
+# Training-data pipeline: dedup family over `documents` / `embeddings`
+# ===========================================================================
+
+@register(
+    "dedup_exact_docs",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS _h FROM documents),
+         k AS (SELECT _h, min(doc_id) AS keeper_doc_id FROM h GROUP BY _h)
+    SELECT h.doc_id, h.doc_id <> k.keeper_doc_id AS is_dup, k.keeper_doc_id
+    FROM h JOIN k ON h._h = k._h
+    """,
+)
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact-content dedup with deterministic keep-first —
+    operators/simdedup.exact_dedup (the clip SHA-1 dedup shape, A4)."""
+    d = _t(spark, sf_dir, "documents")
+    return simdedup.exact_dedup(d)
+
+
+def _minhash_sql(n_hashes: int) -> str:
+    perms = ",\n           ".join(
+        f"min((({2*i+1} * h + {104729*(i+1)}) % {simdedup.MINHASH_PRIME})) AS m{i}"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, pos, 8) AS shingle
+      FROM (SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos, text
+            FROM documents WHERE length(text) >= 8)
+    ), hh AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    )
+    SELECT doc_id,
+           {perms}
+    FROM hh GROUP BY doc_id
+    """
+
+
+@register(
+    "minhash_sigs",
+    f"""
+    WITH sig AS ({_minhash_sql(simdedup.N_HASHES)})
+    SELECT doc_id, m0, m1,
+           md5(concat_ws('_', {', '.join(f'CAST(m{i} AS VARCHAR)' for i in range(simdedup.N_HASHES))}))
+             AS sig_hash
+    FROM sig
+    """,
+)
+def q_minhash_sigs(spark, sf_dir):
+    """MinHash signatures (16 permutations, one partial-aggregatable pass)
+    — operators/simdedup.minhash_signatures."""
+    d = _t(spark, sf_dir, "documents")
+    sig = simdedup.minhash_signatures(d, k=8)
+    return sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("m0"),
+        F.col("sig")[1].alias("m1"),
+        F.md5(
+            F.concat_ws("_", *[F.col("sig")[i].cast("string") for i in range(simdedup.N_HASHES)])
+        ).alias("sig_hash"),
+    )
+
+
+def _band_sql() -> str:
+    rows_per_band = simdedup.N_HASHES // simdedup.N_BANDS
+    selects = []
+    for b in range(simdedup.N_BANDS):
+        lo = b * rows_per_band
+        cols = ", ".join(f"CAST(m{i} AS VARCHAR)" for i in range(lo, lo + rows_per_band))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sig AS ({_minhash_sql(simdedup.N_HASHES)}),
+    bands AS ({_band_sql()})
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash LSH banding → candidate near-dup pairs —
+    operators/simdedup.minhash_lsh_pairs (shingle→minhash→band→bucket-join)."""
+    d = _t(spark, sf_dir, "documents")
+    return simdedup.minhash_lsh_pairs(d, k=8)
+
+
+@register(
+    "ngram_jaccard",
+    """
+    WITH docs AS (SELECT * FROM documents WHERE doc_id < 150),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, pos, 8) AS shingle
+      FROM (SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos, text
+            FROM docs WHERE length(text) >= 8)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity pairs —
+    operators/simdedup.ngram_jaccard_pairs (verification tier; at scale
+    runs only on LSH candidates). Restricted to doc_id<150 to bound the
+    pairwise blow-up at oracle scale."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pairs = simdedup.ngram_jaccard_pairs(d, k=8, threshold=0.0)
+    return pairs.where(F.col("jaccard") >= 0.2)
+
+
+@register(
+    "simhash_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, unnest(generate_series(0, 31)) AS bit, h FROM h
+    ), per_bit AS (
+      SELECT doc_id, bit,
+             sum(((h >> bit) & 1) * 2 - 1) AS v
+      FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def q_simhash_docs(spark, sf_dir):
+    """SimHash (32-bit sign-random-projection) fingerprints —
+    operators/simdedup.simhash."""
+    d = _t(spark, sf_dir, "documents")
+    return simdedup.simhash(d, n_bits=32)
+
+
+@register(
+    "embed_neardup",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.35
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs —
+    operators/simdedup.embedding_neardup_pairs (brute verification form;
+    ANN bucketing is the scale path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simdedup.embedding_neardup_pairs(e, threshold=0.35)
+
+
+@register(
+    "ann_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                   6) AS cosine
+      FROM e, q WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+               AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (ANN baseline) —
+    operators/ann.cosine_topk; the query side is broadcast so the corpus
+    scan is shuffle-free."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = ann.cosine_topk(e, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ===========================================================================
+# Flagship corpus pipeline (rows-only: the langid/perplexity/audio UDF
+# models are not SQL-expressible — the pandas oracle in tests covers them)
+# ===========================================================================
+
+def _clips_path(sf_dir: str) -> str:
+    """Deterministic synthetic clips corpus cached per sf (TESTDATA has no
+    clips table; BASELINE.json directs us to synthesize the input_hint
+    shape at small scale)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(base[2:]) if base.startswith("sf") else 0.01
+    path = f"/tmp/dqc_clips_{base}.parquet"
+    if not os.path.exists(path):
+        from .corpus.generator import write_clips_parquet
+
+        write_clips_parquet(path, sf)
+    return path
+
+
+@register("clips_decisions", None)
+def q_clips_decisions(spark, sf_dir):
+    """Flagship: full quality-filter pipeline (enrich → rules → decide)
+    over the synthetic audio+transcript corpus."""
+    from .pipeline import run_pipeline
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    return run_pipeline(spark, clips, persist=False).decisions
+
+
+@register("clips_findings_summary", None)
+def q_clips_findings_summary(spark, sf_dir):
+    """Flagship: severity × rule histogram over per-clip findings
+    (validator.py:326-341 analog)."""
+    from .pipeline import run_pipeline
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    res = run_pipeline(spark, clips, persist=False)
+    return res.summary.orderBy("severity", "rule")
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via deterministic hyperplane LSH multi-probe —
+    operators/ann.lsh_topk (recall measured against ann_topk in bench).
+    Rows-only: the fp sign-threshold inside the bucket bits is not safely
+    reproducible in a second engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = ann.lsh_topk(e, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLES)
