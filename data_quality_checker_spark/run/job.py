@@ -89,9 +89,14 @@ def run_job(
     bounds = iqr_bounds(clips, "dur_ms", cfg.outlier_iqr_mult, cfg.outlier_min_rows)
 
     # bucket is a pure function of clip_id — recomputed in each projection,
-    # never joined (no extra shuffle).
+    # never joined (no extra shuffle). Dedup keepers come from the FULL
+    # input (clips, not todo): like the IQR fence, the keeper-per-SHA
+    # decision is whole-dataset state — a duplicate in a remaining bucket
+    # must still lose to a keeper that lives in a completed bucket.
     enriched = enrich(todo, cfg)
-    decisions = decide(enriched, cfg, bounds).withColumn("bucket", bucket_expr(cfg))
+    decisions = decide(enriched, cfg, bounds, clips=clips).withColumn(
+        "bucket", bucket_expr(cfg)
+    )
     decisions.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(output, "decisions")
     )

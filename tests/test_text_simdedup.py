@@ -1,0 +1,148 @@
+"""Unit tests for the training-data-pipeline operator families
+(text analysis, dedup/similarity, ANN) on handcrafted inputs with known
+answers — the DuckDB oracles in queries.py cover the same ops at corpus
+scale; these pin the semantics on readable micro-cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.operators import ann, simdedup
+from data_quality_checker_spark.operators import text as text_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_token_counts(spark):
+    d = _docs(spark, [(1, "a bb  ccc"), (2, "   x   "), (3, "one two three four")])
+    out = {r["doc_id"]: (r["n_tokens"], r["n_subword_est"]) for r in
+           text_ops.token_counts(d).collect()}
+    assert out[1] == (3, 3)   # 9 chars → ceil(9/4)=3
+    assert out[2][0] == 1
+    assert out[3][0] == 4
+
+
+def test_quality_scores_bounds(spark):
+    d = _docs(spark, [(1, "the cat sat on the mat"), (2, "!!!! ???? ####")])
+    rows = {r["doc_id"]: r for r in text_ops.quality_scores(d).collect()}
+    assert rows[1]["quality"] > rows[2]["quality"]
+    assert rows[2]["alpha_ratio"] == 0.0
+    assert 0.0 <= rows[1]["quality"] <= 1.0
+
+
+def test_langid_heuristic(spark):
+    d = _docs(spark, [(1, "the dog and the cat in the house"), (2, "zxq vbn mlk pqr")])
+    out = {r["doc_id"]: r["lang_pred"] for r in
+           text_ops.langid_heuristic(d.withColumn("lang", F.lit("x"))).collect()}
+    assert out == {1: "en", 2: "und"}
+
+
+def test_shingles_and_fingerprint_deterministic(spark):
+    d = _docs(spark, [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")])
+    fp = {r["doc_id"]: r["fingerprint"] for r in text_ops.fingerprints(d, k=8).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    sh = text_ops.shingles(d.where("doc_id=1"), k=8).collect()
+    assert {r["shingle"] for r in sh} == {"abcdefgh", "bcdefghi", "cdefghij"}
+
+
+def test_exact_dedup_keep_first(spark):
+    d = _docs(spark, [(3, "same"), (1, "same"), (2, "other")])
+    out = {r["doc_id"]: (r["is_dup"], r["keeper_doc_id"]) for r in
+           simdedup.exact_dedup(d).collect()}
+    assert out == {1: (False, 1), 3: (True, 1), 2: (False, 2)}
+
+
+def test_minhash_identical_docs_collide_all_bands(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = _docs(spark, [(1, t), (2, t), (3, "completely different content here entirely")])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simdedup.minhash_lsh_pairs(d).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_near_identical_docs_share_band(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    d = _docs(spark, [(1, base), (2, base + " x"), (3, "zz qq ww ee rr tt yy uu ii oo")])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simdedup.minhash_lsh_pairs(d).collect()}
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1 shingles(k=2) of "abcd": ab bc cd; doc2 "bcde": bc cd de
+    # intersection 2, union 4 → jaccard 0.5
+    d = _docs(spark, [(1, "abcd"), (2, "bcde")])
+    rows = simdedup.ngram_jaccard_pairs(d, k=2, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(0.5)
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    d = _docs(spark, [(1, a), (2, a + " today"), (3, "entirely unrelated words appear")])
+    h = {r["doc_id"]: r["simhash"] for r in simdedup.simhash(d).collect()}
+    ham12 = bin(h[1] ^ h[2]).count("1")
+    ham13 = bin(h[1] ^ h[3]).count("1")
+    assert ham12 < ham13
+    assert all(0 <= v < (1 << 32) for v in h.values())
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_neardup_both_strategies_agree(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    vecs.append((100, [v * 1.001 + 0.0001 for v in vecs[0][1]]))  # near-dup of 0
+    e = _emb(spark, vecs)
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               simdedup.embedding_neardup_pairs(e, 0.9, strategy="blocked").collect()}
+    fold = {(r["id_a"], r["id_b"]) for r in
+            simdedup.embedding_neardup_pairs(e, 0.9, strategy="fold").collect()}
+    assert blocked == fold
+    assert (0, 100) in blocked
+
+
+def test_cosine_topk_exact(spark):
+    e = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    q = e.where("vec_id = 0")
+    out = [(r["rank"], r["neighbor_id"]) for r in
+           ann.cosine_topk(e, q, k=3).orderBy("rank").collect()]
+    assert out == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_lsh_topk_subset_of_exact_candidates(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(100)]
+    e = _emb(spark, vecs)
+    q = e.where("vec_id < 3")
+    exact = ann.cosine_topk(e, q, k=5)
+    approx = ann.lsh_topk(e, q, k=5)
+    # approx neighbors must be valid ids with correct cosines: spot-check
+    # that any (query, neighbor, cosine) in approx appears in the exact
+    # full ranking with the same cosine value
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann.cosine_topk(e, q, k=99).collect()
+    }
+    for r in approx.collect():
+        assert full[(r["query_id"], r["neighbor_id"])] == pytest.approx(r["cosine"], abs=1e-9)
+    assert approx.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 5
