@@ -63,9 +63,12 @@ def decide(
     the RAW frame (clip_id + sha1(bytes) — pure JVM, column-pruned scan)
     instead of from ``enriched`` — otherwise an unpersisted ``enriched``
     lineage would re-run the Arrow UDF pass a second time just to find
-    keepers.
+    keepers. A frame that already carries ``is_duplicate`` (the streaming
+    path flags against its cross-batch SHA registry) is used as-is.
     """
-    if clips is not None:
+    if "is_duplicate" in enriched.columns:
+        flagged = enriched
+    elif clips is not None:
         from .operators.dedup import keepers_by_sha
 
         hashed = clips.select("clip_id", sha1_expr("bytes").alias("sha"))

@@ -1,0 +1,89 @@
+"""Streaming ingest tests: incremental scoring with cross-batch dedup
+state must reproduce the batch pipeline's keep/drop decisions when files
+arrive in clip_id order."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.pipeline import run_pipeline
+from data_quality_checker_spark.streaming.incremental import (
+    process_increment,
+    read_registry,
+    stream_quality_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def halves(spark, clips_pdf, tmp_path_factory):
+    """Corpus split into two parquet files by clip_id order (earlier ids
+    arrive first — the deterministic-keeper precondition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("stream_in")
+    pdf = clips_pdf.drop(columns=["defect"]).sort_values("clip_id").reset_index(drop=True)
+    mid = len(pdf) // 2
+    for i, chunk in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(d / f"part-{i}.parquet"),
+        )
+    return str(d)
+
+
+def _batch_decisions_no_outlier(spark, clips_df):
+    """Batch reference: same pipeline with dur_bounds=None (streaming has
+    no global fence; dur_outlier is advisory so keep/drop is unaffected)."""
+    from data_quality_checker_spark.pipeline import decide, enrich
+
+    enriched = enrich(clips_df)
+    return decide(enriched, dur_bounds=None, clips=clips_df)
+
+
+def test_incremental_matches_batch(spark, clips_df, halves, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("stream_state"))
+    files = sorted(glob.glob(os.path.join(halves, "*.parquet")))
+    got = {}
+    for bid, f in enumerate(files):
+        batch = spark.read.parquet(f)
+        dec = process_increment(spark, batch, state, bid)
+        for r in dec.collect():
+            got[r["clip_id"]] = (r["keep"], tuple(r["rules_fired"]))
+
+    expected = {
+        r["clip_id"]: (r["keep"], tuple(r["rules_fired"]))
+        for r in _batch_decisions_no_outlier(spark, clips_df).collect()
+    }
+    assert got == expected
+
+
+def test_increment_idempotent_per_batch(spark, halves, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("stream_state2"))
+    f = sorted(glob.glob(os.path.join(halves, "*.parquet")))[0]
+    batch = spark.read.parquet(f)
+    process_increment(spark, batch, state, 0).count()
+    n1 = read_registry(spark, state).count()
+    # replay of the same batch_id must not grow the registry
+    process_increment(spark, batch, state, 0).count()
+    n2 = read_registry(spark, state).count()
+    assert n1 == n2
+
+
+def test_streaming_query_end_to_end(spark, clips_df, halves, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    state = str(tmp_path_factory.mktemp("stream_state3"))
+    q = stream_quality_filter(spark, halves, out, ckpt, state)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.count() == clips_df.count()
+    assert got.select("clip_id").distinct().count() == clips_df.count()
+    # cross-batch dedup engaged: some duplicates must be flagged
+    n_dups = got.where(F.array_contains("rules_fired", "duplicate")).count()
+    assert n_dups > 0
