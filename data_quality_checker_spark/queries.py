@@ -244,6 +244,91 @@ def q_format_check_props(spark, sf_dir):
 
 
 @register(
+    "missing_threshold_severity",
+    """
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_missing
+      FROM events
+    )
+    SELECT n_rows, n_missing,
+           round(CAST(n_missing AS DOUBLE) / n_rows * 100, 4) AS missing_pct,
+           CASE WHEN CAST(n_missing AS DOUBLE) / n_rows * 100 > 50 THEN 'high'
+                WHEN CAST(n_missing AS DOUBLE) / n_rows * 100 > 20 THEN 'medium'
+                ELSE 'low' END AS severity
+    FROM m
+    """,
+)
+def q_missing_threshold_severity(spark, sf_dir):
+    """A9/A1 — missing-pct severity tiers (>50 high, >20 medium else low;
+    validator.py:92, validation_rules.py:66-85) as a single aggregate."""
+    e = _t(spark, sf_dir, "events")
+    m = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_missing"),
+    )
+    pct = F.col("n_missing").cast("double") / F.col("n_rows") * 100
+    return m.select(
+        "n_rows",
+        "n_missing",
+        F.round(pct, 4).alias("missing_pct"),
+        F.when(pct > 50, "high").when(pct > 20, "medium").otherwise("low").alias("severity"),
+    )
+
+
+@register(
+    "readiness_score",
+    """
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS miss_text,
+             count(DISTINCT lang) AS n_langs
+      FROM documents
+    )
+    SELECT n_rows,
+           CAST(100
+                - (CASE WHEN CAST(miss_text AS DOUBLE)/n_rows*100 > 50 THEN 30
+                        WHEN CAST(miss_text AS DOUBLE)/n_rows*100 > 30 THEN 20
+                        WHEN CAST(miss_text AS DOUBLE)/n_rows*100 > 10 THEN 10
+                        WHEN CAST(miss_text AS DOUBLE)/n_rows*100 > 5 THEN 5
+                        ELSE 0 END)
+                - (CASE WHEN n_rows < 100 THEN 20
+                        WHEN n_rows < 500 THEN 10
+                        WHEN n_rows < 1000 THEN 5 ELSE 0 END) AS BIGINT)
+             AS readiness
+    FROM m
+    """,
+)
+def q_readiness_score(spark, sf_dir):
+    """A18 — readiness-score fold over aggregates with the reference's
+    exact penalty tiers (ml_advisor.py:319-365: 50/30/10/5% missing and
+    100/500/1000-row thresholds)."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("bigint")).alias("miss_text"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    miss_pct = F.col("miss_text").cast("double") / F.col("n_rows") * 100
+    miss_pen = (
+        F.when(miss_pct > 50, 30)
+        .when(miss_pct > 30, 20)
+        .when(miss_pct > 10, 10)
+        .when(miss_pct > 5, 5)
+        .otherwise(0)
+    )
+    size_pen = (
+        F.when(F.col("n_rows") < 100, 20)
+        .when(F.col("n_rows") < 500, 10)
+        .when(F.col("n_rows") < 1000, 5)
+        .otherwise(0)
+    )
+    return m.select(
+        "n_rows", (F.lit(100) - miss_pen - size_pen).cast("bigint").alias("readiness")
+    )
+
+
+@register(
     "distinct_cards",
     """
     SELECT count(DISTINCT l_partkey) AS parts,
@@ -933,6 +1018,42 @@ def q_simhash_docs(spark, sf_dir):
     operators/simdedup.simhash."""
     d = _t(spark, sf_dir, "documents")
     return simdedup.simhash(d, n_bits=32)
+
+
+@register(
+    "simhash_neardup_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, unnest(generate_series(0, 31)) AS bit, h FROM h
+    ), per_bit AS (
+      SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS v
+      FROM bits GROUP BY doc_id, bit
+    ), sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM per_bit GROUP BY doc_id
+    ), blocks AS (
+      SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS key
+      FROM sh, generate_series(0, 3) t(blk)
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+    FROM blocks l JOIN blocks r
+      ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via 4-block pigeonhole bucketing —
+    operators/simdedup.simhash_neardup_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    out = simdedup.simhash_neardup_pairs(d, max_hamming=3, n_bits=32)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 @register(
