@@ -65,8 +65,11 @@ def main():
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink materializes every column; a bare count() would let
+        # Catalyst prune deterministic UDF/computed columns from the plan
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        n = df.count()  # row count for reporting — outside the timed window
         timings[name] = round(dt, 3)
         total += dt
         if name == "clips_decisions":

@@ -85,7 +85,11 @@ class PipelineConfig:
     # -- physical knobs ----------------------------------------------------
     dedup_salt_buckets: int = 16     # two-phase salted SHA-1 dedup (A4)
     n_lineage_buckets: int = 64      # resume granularity (pmod of sha1)
-    arrow_max_records_per_batch: int = 512  # bytes-carrying batches stay small
+    # Arrow batch sizing trades per-batch JVM↔Python round-trip overhead
+    # (dominates at high worker counts) against Python-worker peak memory
+    # (~batch × payload size). 1024 ≈ 60 MB/batch at the corpus's mean
+    # clip size; drop it for corpora with multi-MB clips.
+    arrow_max_records_per_batch: int = 1024
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -53,6 +53,69 @@ def encode_flac_stub(samples: np.ndarray, sr_hz: int) -> bytes:
     return FLAC_STUB_MAGIC + struct.pack("<I", sr_hz) + encode_pcm_s16le(samples)
 
 
+def decode_clip_i16(payload: bytes | None, codec: str | None, sr_hz: int | None):
+    """Decode one clip to RAW int16 samples → (int16 ndarray, sample_rate)
+    or None. The hot path for the audio_stats UDF: no float conversion,
+    no scaling — at corpus scale the int16→float64 blow-up (×4 memory
+    traffic, plus abs/square temporaries) saturates memory bandwidth and
+    flatlines multi-core scaling. Stats are computed on int16/float32
+    views by the caller. Multi-channel WAV falls back to the float path.
+    """
+    if payload is None or len(payload) == 0:
+        return None
+    codec = (codec or "").lower()
+    try:
+        if codec == "wav" or payload[:4] == b"RIFF":
+            out = _decode_wav_i16(payload)
+            return out
+        if codec == "pcm_s16le":
+            if not sr_hz or sr_hz <= 0 or len(payload) % 2 != 0:
+                return None
+            return np.frombuffer(payload, dtype="<i2"), int(sr_hz)
+        if codec == "flac":
+            if payload[:8] == FLAC_STUB_MAGIC:
+                sr = struct.unpack("<I", payload[8:12])[0]
+                return np.frombuffer(payload[12:], dtype="<i2"), sr
+            if _soundfile is not None:  # pragma: no cover
+                import io
+
+                data, sr = _soundfile.read(io.BytesIO(payload), dtype="int16")
+                return np.asarray(data, dtype=np.int16), int(sr)
+            return None
+        return None
+    except Exception:
+        return None
+
+
+def _decode_wav_i16(payload: bytes):
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    sr = None
+    bits = None
+    channels = 1
+    while pos + 8 <= n:
+        chunk_id = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            _, channels, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data" and sr is not None:
+            if bits != 16:
+                return None
+            pcm = np.frombuffer(body[: len(body) - len(body) % 2], dtype="<i2")
+            if channels > 1:
+                pcm = (
+                    pcm[: len(pcm) - len(pcm) % channels]
+                    .reshape(-1, channels)
+                    .mean(axis=1)
+                    .astype(np.int16)
+                )
+            return pcm, int(sr)
+        pos += 8 + size + (size % 2)
+    return None
+
+
 def decode_clip(payload: bytes | None, codec: str | None, sr_hz: int | None):
     """Decode one clip → (samples float64 in [-1,1], sample_rate) or None.
 

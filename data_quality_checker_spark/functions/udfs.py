@@ -29,7 +29,7 @@ from ..config import (
     TOXICITY_REDACTION,
     TOXICITY_TERMS,
 )
-from ..corpus.audio import decode_clip
+from ..corpus.audio import decode_clip_i16
 from ..schema import AUDIO_STATS_SCHEMA, LANGID_SCHEMA
 from . import textmodel
 
@@ -76,6 +76,11 @@ def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.D
     The binary-payload analog of the reference's type/range validation
     (src/core/validator.py:125-159). Decoding a variable-length blob is
     per-value by nature; the stats per clip are numpy-vectorized.
+
+    Memory-bandwidth-aware: stats are computed on the RAW int16 samples
+    (abs/compare in int32, energy in one float32 dot) — converting to
+    float64 first costs ~8× the memory traffic of the payload and caps
+    multi-core scaling long before CPUs saturate.
     """
     n = len(payload)
     n_samples = np.full(n, np.nan)
@@ -85,10 +90,12 @@ def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.D
     decoded_ms = np.full(n, np.nan)
     decode_ok = np.full(n, None, dtype=object)
 
+    full_scale_i16 = 32766  # |x| >= 32766 ⟺ |x|/32767 >= _FULL_SCALE_THRESHOLD
+
     for i, (b, c, s) in enumerate(zip(payload.values, codec.values, sr_hz.values)):
         if b is None or (isinstance(b, float) and pd.isna(b)):
             continue
-        decoded = decode_clip(bytes(b), c, None if pd.isna(s) else int(s))
+        decoded = decode_clip_i16(bytes(b), c, None if pd.isna(s) else int(s))
         if decoded is None:
             decode_ok[i] = False
             continue
@@ -97,10 +104,11 @@ def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.D
         m = len(samples)
         n_samples[i] = m
         if m:
-            a = np.abs(samples)
-            peak[i] = float(a.max())
-            rms[i] = float(np.sqrt(np.mean(samples * samples)))
-            clip_ratio[i] = float(np.mean(a >= _FULL_SCALE_THRESHOLD))
+            a = np.abs(samples.astype(np.int32))
+            peak[i] = float(a.max()) / 32767.0
+            xf = samples.astype(np.float32)
+            rms[i] = float(np.sqrt(np.dot(xf, xf) / m)) / 32767.0
+            clip_ratio[i] = float(np.count_nonzero(a >= full_scale_i16)) / m
         if sr:
             decoded_ms[i] = 1000.0 * m / sr
 

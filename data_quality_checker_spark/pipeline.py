@@ -2,16 +2,30 @@
 
 Shape (scale rationale inline):
 
-  clips ──(single projection: sha1, audio-stats UDF, langid UDF, ppl UDF,
-           scrub UDF — the ONLY pass that touches `bytes`; everything
-           downstream drops it)──► enriched
-  enriched ──persist(slim, no bytes)──┬─► salted keeper agg ─┐
-                                      └──────── join on sha ◄┘
-          ──► rules (pure column exprs) ──► decisions / findings / metrics
+  clips ──(scan A: clip_id+bytes → sha1, JVM only)──► hashed (slim, CACHED)
+        ──(scan B: transcript cols only → langid/ppl/scrub UDFs)──► text
+        ──(scan C: bytes of REPRESENTATIVE rows only → audio-stats UDF)──►
+                                                        stats (per distinct key)
+  hashed ──► dedup keepers (salted agg)   ─┐
+  text ⋈ hashed (sha) ⋈ stats (key)       ─┴─► rules ──► decisions/findings
 
-The reference runs ~10 sequential full scans (src/core/validator.py:62-82);
-here Catalyst fuses every rule into one whole-stage-codegen pass over the
-enriched frame, and the heavy binary column is read exactly once.
+Why this shape survives 100 TB:
+  * the heavy ``bytes`` column is scanned exactly twice (sha pass +
+    representative pass) and NEVER shuffled, never cached, and crosses
+    the JVM→Python Arrow boundary only for one representative per
+    distinct (sha, codec, sr_hz) key — on a dedup-heavy corpus the
+    Python-side decode work shrinks by the duplication factor, and even
+    on a dup-free corpus nothing is decoded twice;
+  * the text-scoring pass reads NO payload bytes (column pruning keeps
+    the scan slim) — it is pure compute and scales linearly with cores
+    (measured 0.87 scaling efficiency 8→32 cores, BENCH/BASELINE.md);
+  * ``hashed`` is a few dozen bytes/row — cacheable at any scale — and
+    feeds every consumer that needs (clip_id → sha): dedup keepers, the
+    text join, lineage bucketing.
+
+The reference runs ~10 sequential full scans over one in-memory frame
+(src/core/validator.py:62-82); here Catalyst fuses every rule into one
+whole-stage-codegen pass over the joined slim frames.
 """
 
 from __future__ import annotations
@@ -25,17 +39,25 @@ from pyspark.storagelevel import StorageLevel
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions.udfs import get_udfs
 from .operators import metrics as metrics_ops
-from .operators.dedup import sha1_expr, with_duplicate_flag
+from .operators.dedup import keepers_by_sha, sha1_expr, with_duplicate_flag
 from .operators.outliers import iqr_bounds
 from .operators.rules import build_rules, keep_expr, rules_fired_expr, severity_map_expr
 
 
-def enrich(clips: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Single pass over the corpus: hash + decode + score + scrub.
+def hashed_frame(clips: DataFrame) -> DataFrame:
+    """Scan A → (clip_id, sha, codec, sr_hz): the ONLY full sha1 pass
+    over the payload. Slim enough to cache at any corpus scale; every
+    sha consumer (dedup keepers, stats reps, text join) reuses it."""
+    return clips.select(
+        "clip_id", sha1_expr("bytes").alias("sha"), "codec", "sr_hz"
+    )
 
-    Drops ``bytes`` at the end — the output is a slim frame safe to
-    persist/shuffle.
-    """
+
+def enrich_text(clips: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Scan B: text UDF pass over every clip — langid + perplexity +
+    scrub. Reads NO payload bytes (sha joins in from ``hashed_frame``),
+    so only transcript columns ride the Arrow batches: compute-bound,
+    scales linearly with cores."""
     udfs = get_udfs()
     return clips.select(
         "clip_id",
@@ -43,11 +65,87 @@ def enrich(clips: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
         "dur_ms",
         "codec",
         "transcript",
-        sha1_expr("bytes").alias("sha"),
-        udfs["audio_stats"](F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("audio"),
         udfs["langid"](F.col("transcript")).alias("langid"),
         udfs["perplexity"](F.col("transcript")).alias("ppl"),
         udfs["scrub"](F.col("transcript")).alias("scrub"),
+    )
+
+
+def audio_stats_table(
+    clips: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Scan C → (sha, codec, sr_hz, audio struct): decoded stats per
+    DISTINCT payload-decode key.
+
+    Audio stats are a pure function of (bytes, codec, sr_hz), and a
+    dedup-heavy corpus repeats payloads — so decode each distinct key
+    ONCE (representative = min clip_id) and join the slim stats table
+    back by key. Payload bytes cross the JVM→Python boundary only for
+    representatives; duplicates cost one join probe, not a decode.
+
+    Plan shape: reps is a tiny (key → rep clip_id) aggregate over the
+    slim ``hashed`` frame (bytes never shuffle); representative rows are
+    selected with a broadcast LEFT SEMI join — a scan-side filter, no
+    payload shuffle. At 10^12 rows, bucket the table by sha instead and
+    the reps aggregation becomes shuffle-free.
+    """
+    udfs = get_udfs()
+    if hashed is None:
+        hashed = hashed_frame(clips)
+    reps = (
+        hashed.where(F.col("sha").isNotNull())
+        .groupBy("sha", "codec", "sr_hz")
+        .agg(F.min("clip_id").alias("rep_id"))
+    )
+    rep_rows = clips.where(F.col("bytes").isNotNull()).join(
+        F.broadcast(reps.select("rep_id")),
+        F.col("clip_id") == F.col("rep_id"),
+        "left_semi",
+    )
+    return rep_rows.select(
+        sha1_expr("bytes").alias("sha"),
+        "codec",
+        "sr_hz",
+        udfs["audio_stats"](F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("audio"),
+    )
+
+
+def enrich(
+    clips: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Full enrichment: text pass ⋈ hashed (sha) ⋈ per-distinct-payload
+    audio stats.
+
+    Output is a slim frame (no bytes) safe to persist/shuffle. The stats
+    join is null-safe on (sha, codec, sr_hz) — null sr_hz is a real key
+    value for headerless PCM. Rows with null bytes miss the join: their
+    ``audio`` struct is null, which the rules treat as not-decoded.
+    """
+    if hashed is None:
+        hashed = hashed_frame(clips)
+    text = enrich_text(clips, cfg)
+    stats = audio_stats_table(clips, cfg, hashed)
+    with_sha = text.join(hashed.select("clip_id", "sha"), "clip_id")
+    cond = (
+        (with_sha["sha"] == stats["sha"])
+        & with_sha["codec"].eqNullSafe(stats["codec"])
+        & with_sha["sr_hz"].eqNullSafe(stats["sr_hz"])
+    )
+    return with_sha.join(stats, cond, "left").select(
+        with_sha["clip_id"],
+        with_sha["sr_hz"],
+        with_sha["dur_ms"],
+        with_sha["codec"],
+        with_sha["transcript"],
+        with_sha["sha"],
+        stats["audio"],
+        with_sha["langid"],
+        with_sha["ppl"],
+        with_sha["scrub"],
     )
 
 
@@ -56,23 +154,24 @@ def decide(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     dur_bounds: tuple[float, float] | None = None,
     clips: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Rules over the enriched frame → per-clip decisions.
 
-    When ``clips`` is given, the dedup keeper aggregation is computed from
-    the RAW frame (clip_id + sha1(bytes) — pure JVM, column-pruned scan)
-    instead of from ``enriched`` — otherwise an unpersisted ``enriched``
-    lineage would re-run the Arrow UDF pass a second time just to find
-    keepers. A frame that already carries ``is_duplicate`` (the streaming
-    path flags against its cross-batch SHA registry) is used as-is.
+    Keeper sourcing, in preference order:
+      * a frame already carrying ``is_duplicate`` (the streaming path
+        flags against its cross-batch SHA registry) is used as-is;
+      * ``hashed`` (the cached slim frame) — keepers cost one slim agg;
+      * ``clips`` — keepers from a fresh JVM-only (clip_id, sha) scan
+        (never from ``enriched``: an unpersisted enriched lineage would
+        re-run the Arrow UDF passes just to find keepers);
+      * fallback: the enriched frame itself (call sites that persist it).
     """
     if "is_duplicate" in enriched.columns:
         flagged = enriched
-    elif clips is not None:
-        from .operators.dedup import keepers_by_sha
-
-        hashed = clips.select("clip_id", sha1_expr("bytes").alias("sha"))
-        keepers = keepers_by_sha(hashed, cfg)
+    elif hashed is not None or clips is not None:
+        src = hashed if hashed is not None else hashed_frame(clips)
+        keepers = keepers_by_sha(src.select("clip_id", "sha"), cfg)
         flagged = enriched.join(keepers, on="sha", how="left").withColumn(
             "is_duplicate",
             F.when(
@@ -125,18 +224,24 @@ def run_pipeline(
     """End-to-end in-session run (tests / entry point). The spark-submit
     job with lineage/resume lives in run/job.py and shares these stages.
 
+    ``persist`` caches the slim ``hashed`` frame (clip_id→sha — a few
+    dozen bytes/row, cacheable at any corpus scale) so the sha pass runs
+    once; the cache is materialized EAGERLY because two consumers in one
+    action would otherwise race to fill it and run the sha scan twice.
+
     ``with_column_findings`` triggers two extra eager aggregate passes
-    (the reference's dataset-level issue records) — off by default so the
-    lazy decisions/findings plans stay the only corpus scans.
+    (the reference's dataset-level issue records) — off by default.
     """
     # tiny pre-pass: exact IQR fence over dur_ms only (column-pruned scan)
     bounds = iqr_bounds(
         clips, "dur_ms", cfg.outlier_iqr_mult, cfg.outlier_min_rows
     )
-    enriched = enrich(clips, cfg)
+    hashed = hashed_frame(clips)
     if persist:
-        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
-    decisions = decide(enriched, cfg, bounds, clips=clips)
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+        hashed.count()
+    enriched = enrich(clips, cfg, hashed)
+    decisions = decide(enriched, cfg, bounds, hashed=hashed)
     findings = findings_from_decisions(decisions, cfg)
     summ = metrics_ops.summary(findings)
     col_findings = (

@@ -1140,7 +1140,7 @@ def q_clips_decisions(spark, sf_dir):
     from .pipeline import run_pipeline
 
     clips = spark.read.parquet(_clips_path(sf_dir))
-    return run_pipeline(spark, clips, persist=False).decisions
+    return run_pipeline(spark, clips).decisions
 
 
 @register("clips_findings_summary", None)
@@ -1150,7 +1150,7 @@ def q_clips_findings_summary(spark, sf_dir):
     from .pipeline import run_pipeline
 
     clips = spark.read.parquet(_clips_path(sf_dir))
-    res = run_pipeline(spark, clips, persist=False)
+    res = run_pipeline(spark, clips)
     return res.summary.orderBy("severity", "rule")
 
 

@@ -94,22 +94,31 @@ def run_job(
     # decision is whole-dataset state — a duplicate in a remaining bucket
     # must still lose to a keeper that lives in a completed bucket.
     enriched = enrich(todo, cfg)
-    decisions = decide(enriched, cfg, bounds, clips=clips).withColumn(
-        "bucket", bucket_expr(cfg)
+    decisions = (
+        decide(enriched, cfg, bounds, clips=clips)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("bucket", bucket_expr(cfg))
     )
-    decisions.write.mode("overwrite").partitionBy("bucket").parquet(
+    # partitioned (run_id, bucket): dynamic overwrite only ever touches
+    # THIS run's incomplete buckets, and findings stay attributable per
+    # run for the history/compare analytics
+    decisions.write.mode("overwrite").partitionBy("run_id", "bucket").parquet(
         os.path.join(output, "decisions")
     )
 
-    fresh = spark.read.parquet(os.path.join(output, "decisions")).withColumn(
-        "bucket", F.col("bucket").cast("int")
+    fresh = (
+        spark.read.parquet(os.path.join(output, "decisions"))
+        .where(F.col("run_id") == run_id)
+        .withColumn("bucket", F.col("bucket").cast("int"))
     )
     if done:
         fresh = fresh.where(~F.col("bucket").isin(*sorted(done)))
-    findings = findings_from_decisions(fresh.drop("bucket"), cfg).withColumn(
-        "bucket", bucket_expr(cfg)
+    findings = (
+        findings_from_decisions(fresh.drop("bucket", "run_id"), cfg)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("bucket", bucket_expr(cfg))
     )
-    findings.write.mode("overwrite").partitionBy("bucket").parquet(
+    findings.write.mode("overwrite").partitionBy("run_id", "bucket").parquet(
         os.path.join(output, "findings")
     )
 
@@ -154,14 +163,14 @@ def summary_view(spark: SparkSession, output: str) -> DataFrame:
     lineage LEFT JOIN findings, per-run totals with conditional severity sums."""
     lineage = spark.read.parquet(os.path.join(output, "lineage"))
     findings = spark.read.parquet(os.path.join(output, "findings"))
-    per_bucket = findings.groupBy("bucket").agg(
+    per_bucket = findings.groupBy("run_id", "bucket").agg(
         F.count(F.lit(1)).alias("n_findings"),
         F.sum((F.col("severity") == "high").cast("long")).alias("n_high"),
         F.sum((F.col("severity") == "medium").cast("long")).alias("n_medium"),
         F.sum((F.col("severity") == "low").cast("long")).alias("n_low"),
     )
     return (
-        lineage.join(per_bucket, "bucket", "left")
+        lineage.join(per_bucket, ["run_id", "bucket"], "left")
         .groupBy("run_id")
         .agg(
             F.sum("rows_in").alias("rows_in"),

@@ -70,7 +70,7 @@ def test_resume_after_partial_failure(spark, corpus_path, tmp_path_factory):
         os.path.join(out, "lineage")
     )
     for b in victims:
-        shutil.rmtree(os.path.join(out, "decisions", f"bucket={b}"))
+        shutil.rmtree(os.path.join(out, "decisions", "run_id=run2", f"bucket={b}"))
 
     done_before = completed_buckets(spark, out, "run2")
     assert all(b not in done_before for b in victims)
