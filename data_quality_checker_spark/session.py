@@ -61,6 +61,12 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(DEFAULT_CONFIG.arrow_max_records_per_batch),
         )
+        # Vectorized parquet reader batch: the default 4096 rows holds
+        # ~230 MB of on-heap column vectors per task for ~56 KB binary
+        # payloads — at 32 concurrent tasks that exceeds any sane heap
+        # and collapses throughput into GC. 512 rows keeps payload scans
+        # bounded; narrow text scans are unaffected.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

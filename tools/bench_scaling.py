@@ -21,7 +21,9 @@ remapped clip_ids (heavy duplicate skew by construction — the salted
 two-phase SHA-1 dedup runs in its design regime), written as 128 parquet
 files so scan parallelism is file-granular.
 
-Usage: python tools/bench_scaling.py [--replicas 96] [--small 8 --large 32]
+Usage: python tools/bench_scaling.py [--replicas 96] [--small 2 --large 8]
+(default N=2 vs 4N=8 — the pair below this host's ~1.5 GB/s aggregate
+memory-bandwidth ceiling; see BENCH/BASELINE.md for the 8/32 analysis)
 """
 
 from __future__ import annotations
@@ -88,8 +90,8 @@ def run_at(corpus: str, cores: int, workload: str = "full") -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=96)
-    ap.add_argument("--small", type=int, default=8)
-    ap.add_argument("--large", type=int, default=32)
+    ap.add_argument("--small", type=int, default=2)
+    ap.add_argument("--large", type=int, default=8)
     args = ap.parse_args()
 
     corpus = build_corpus(args.replicas)
