@@ -58,9 +58,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "null_counts",
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props
     FROM events
     """,
 )
@@ -206,8 +206,8 @@ def q_strlen_stats(spark, sf_dir):
 @register(
     "range_check_quantity",
     """
-    SELECT sum(CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END) AS below_min,
-           sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS above_max,
+    SELECT CAST(sum(CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END) AS BIGINT) AS below_min,
+           CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS above_max,
            count(*) AS n_rows
     FROM lineitem
     """,
@@ -226,8 +226,8 @@ def q_range_check_quantity(spark, sf_dir):
 @register(
     "format_check_props",
     r"""
-    SELECT sum(CASE WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
-                    THEN 1 ELSE 0 END) AS n_bad,
+    SELECT CAST(sum(CASE WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
            count(*) AS n_rows
     FROM events
     """,
@@ -248,7 +248,7 @@ def q_format_check_props(spark, sf_dir):
     """
     WITH m AS (
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_missing
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       FROM events
     )
     SELECT n_rows, n_missing,
@@ -651,7 +651,7 @@ def q_join_fk_count(spark, sf_dir):
     """
     SELECT c_custkey,
            count(o_orderkey) AS n_orders,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
            CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
              AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
@@ -770,7 +770,7 @@ def q_compare_days(spark, sf_dir):
       SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
     ), latest AS (SELECT max(day) AS last_day FROM daily)
     SELECT d.event_type,
-           sum(CASE WHEN d.day = last_day THEN d.cnt ELSE 0 END) AS current_cnt,
+           CAST(sum(CASE WHEN d.day = last_day THEN d.cnt ELSE 0 END) AS BIGINT) AS current_cnt,
            round(CAST(sum(CASE WHEN d.day <> last_day THEN d.cnt ELSE 0 END) AS DOUBLE)
                  / greatest(count(CASE WHEN d.day <> last_day THEN 1 END), 1), 4)
              AS baseline_avg,
@@ -1191,18 +1191,65 @@ def q_ann_topk(spark, sf_dir):
 # models are not SQL-expressible — the pandas oracle in tests covers them)
 # ===========================================================================
 
+def _sf_of(sf_dir: str) -> tuple[str, float]:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base, (float(base[2:]) if base.startswith("sf") else 0.01)
+
+
 def _clips_path(sf_dir: str) -> str:
     """Deterministic synthetic clips corpus cached per sf (TESTDATA has no
     clips table; BASELINE.json directs us to synthesize the input_hint
     shape at small scale)."""
-    base = os.path.basename(os.path.normpath(sf_dir))
-    sf = float(base[2:]) if base.startswith("sf") else 0.01
+    base, sf = _sf_of(sf_dir)
     path = f"/tmp/dqc_clips_{base}.parquet"
     if not os.path.exists(path):
         from .corpus.generator import write_clips_parquet
 
         write_clips_parquet(path, sf)
     return path
+
+
+def ensure_expected_fixtures(sf_dir: str) -> tuple[str, str]:
+    """Write (once, deterministically) the pandas-oracle ground-truth
+    labels for the synthetic corpus at this sf:
+
+    * ``dqc_expected_labels_{sf}.parquet`` — (clip_id, keep, rules_fired
+      [comma-joined, name-sorted], scrubbed_transcript);
+    * ``dqc_expected_findings_{sf}.parquet`` — (clip_id, rule, severity).
+
+    These make the flagship pipeline DuckDB-oracle-able: the oracle SQL
+    reads the fixture, so the driver's hash compares the Spark pipeline
+    against the independently-implemented eager pandas labeler
+    (oracle/pandas_oracle.py — reference semantics, separate code path).
+    Writes are tmp+rename so a crash never leaves a poisoned fixture.
+    """
+    base, sf = _sf_of(sf_dir)
+    labels_path = f"/tmp/dqc_expected_labels_{base}.parquet"
+    findings_path = f"/tmp/dqc_expected_findings_{base}.parquet"
+    if os.path.exists(labels_path) and os.path.exists(findings_path):
+        return labels_path, findings_path
+
+    import pandas as pd
+
+    from .corpus.generator import generate_clips
+    from .oracle.pandas_oracle import RULES, label_clips
+
+    labels = label_clips(generate_clips(sf))
+    out = labels.copy()
+    out["rules_fired"] = out["rules_fired"].map(",".join)
+    findings = pd.DataFrame(
+        [
+            {"clip_id": r.clip_id, "rule": rule, "severity": RULES[rule][0]}
+            for r in labels.itertuples()
+            for rule in r.rules_fired
+        ],
+        columns=["clip_id", "rule", "severity"],
+    )
+    for pdf, path in ((out, labels_path), (findings, findings_path)):
+        tmp = path + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return labels_path, findings_path
 
 
 @register("clips_decisions", None)
@@ -1212,18 +1259,60 @@ def q_clips_decisions(spark, sf_dir):
     from .pipeline import run_pipeline
 
     clips = spark.read.parquet(_clips_path(sf_dir))
-    return run_pipeline(spark, clips).decisions
+    decisions = run_pipeline(spark, clips).decisions
+    # Registry-layer reshape only: the driver canonicalizer sorts columns
+    # with pandas, and array<string> is unhashable there. rules_fired is
+    # already deterministically name-sorted (operators/rules.py
+    # rules_fired_expr), so its comma-join is a stable scalar encoding.
+    return decisions.withColumn(
+        "rules_fired", F.concat_ws(",", F.col("rules_fired"))
+    )
 
 
-@register("clips_findings_summary", None)
+@register(
+    "clips_findings_summary",
+    """
+    SELECT severity, rule, CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('/tmp/dqc_expected_findings_sf0.01.parquet')
+    GROUP BY severity, rule
+    """,
+)
 def q_clips_findings_summary(spark, sf_dir):
     """Flagship: severity × rule histogram over per-clip findings
-    (validator.py:326-341 analog)."""
+    (validator.py:326-341 analog). Oracle = the same histogram over the
+    pandas-oracle expected-findings fixture (driver correctness runs at
+    sf0.01; ensure_expected_fixtures writes it)."""
     from .pipeline import run_pipeline
 
     clips = spark.read.parquet(_clips_path(sf_dir))
     res = run_pipeline(spark, clips)
     return res.summary.orderBy("severity", "rule")
+
+
+@register(
+    "clips_decisions_labels",
+    """
+    SELECT clip_id, keep, rules_fired, scrubbed_transcript
+    FROM read_parquet('/tmp/dqc_expected_labels_sf0.01.parquet')
+    """,
+)
+def q_clips_decisions_labels(spark, sf_dir):
+    """Flagship parity projection: (clip_id, keep, rules_fired,
+    scrubbed_transcript) from the Spark pipeline, hash-checked against the
+    eager pandas reference labeler's fixture (oracle/pandas_oracle.py) —
+    the driver-visible form of the F1/rules/scrub parity gate. Float
+    model outputs (lang_conf, perplexity, clip_ratio) are excluded here
+    on purpose: cross-engine fp noise; the full frame is clips_decisions
+    (rows-only)."""
+    from .pipeline import run_pipeline
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    return run_pipeline(spark, clips).decisions.select(
+        "clip_id",
+        "keep",
+        F.concat_ws(",", F.col("rules_fired")).alias("rules_fired"),
+        "scrubbed_transcript",
+    )
 
 
 @register("ann_lsh_topk", None)
@@ -1243,4 +1332,10 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracles() -> dict[str, str]:
+    # The clips oracles read pandas-oracle fixtures under /tmp; make sure
+    # they exist before any SQL runs (driver correctness runs at sf0.01).
+    try:
+        ensure_expected_fixtures("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return dict(_ORACLES)
