@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "embed_neardup",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
@@ -77,18 +78,51 @@ def main():
             extras["clips_per_sec"] = round(n / dt, 1)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
-    # ANN recall: LSH hits / exact hits on identical queries
+    # ANN recall, two regimes:
+    #  * overall: approx top-5 vs exact top-5 for the registry queries
+    #    (this corpus' true neighbors sit at cosine ≈0.37 — the hard,
+    #    near-random regime; IVF is the operator for it);
+    #  * near-dup: 50 deterministic planted queries (unit-norm corpus
+    #    vector + seeded jitter → cosine ≈0.94 to the source) — does the
+    #    approx index return the planted source in its top-k? This is
+    #    the cosine≥0.9 regime sign-LSH is built for.
     try:
         exact = {
             (r["query_id"], r["neighbor_id"])
             for r in qs["ann_topk"](spark, sf_dir).collect()
         }
-        approx = {
-            (r["query_id"], r["neighbor_id"])
-            for r in qs["ann_lsh_topk"](spark, sf_dir).collect()
+        for qname, key in (("ann_lsh_topk", "ann_lsh_recall"), ("ann_ivf_topk", "ann_ivf_recall")):
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in qs[qname](spark, sf_dir).collect()
+            }
+            if exact:
+                extras[key] = round(len(exact & approx) / len(exact), 3)
+    except Exception:
+        pass
+    try:
+        import numpy as np
+        from pyspark.sql import functions as F
+        from data_quality_checker_spark.operators import ann
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        src = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(50).collect()]
+        srows = emb.where(F.col("vec_id").isin(src)).select("vec_id", "embedding").collect()
+        rng = np.random.default_rng(123)
+        planted = []
+        for r in sorted(srows, key=lambda r: r["vec_id"]):
+            v = np.array(r["embedding"], dtype=np.float64)
+            v /= np.linalg.norm(v)
+            jittered = v + rng.standard_normal(len(v)) * 0.045
+            planted.append((int(r["vec_id"]) + 10_000_000, [float(x) for x in (jittered / np.linalg.norm(jittered))]))
+        qdf = spark.createDataFrame(planted, "vec_id: long, embedding: array<double>")
+        hits = {
+            (r["query_id"] - 10_000_000, r["neighbor_id"])
+            for r in ann.lsh_topk(emb, qdf, k=5).collect()
         }
-        if exact:
-            extras["ann_lsh_recall"] = round(len(exact & approx) / len(exact), 3)
+        extras["ann_lsh_recall_neardup"] = round(
+            sum(1 for s in src if (s, s) in hits) / len(src), 3
+        )
     except Exception:
         pass
 

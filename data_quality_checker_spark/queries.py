@@ -1317,13 +1317,26 @@ def q_clips_decisions_labels(spark, sf_dir):
 
 @register("ann_lsh_topk", None)
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via deterministic hyperplane LSH multi-probe —
-    operators/ann.lsh_topk (recall measured against ann_topk in bench).
+    """Approximate top-k via deterministic multi-table hyperplane LSH,
+    probe-bucket equi-join — operators/ann.lsh_topk (recall measured
+    against ann_topk in bench, overall + planted-near-dup regimes).
     Rows-only: the fp sign-threshold inside the bucket bits is not safely
     reproducible in a second engine."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     out = ann.lsh_topk(e, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-k via the IVF (inverted-file) index — centroid-id
+    equi-join, Arrow-GEMM assignment — operators/ann.ivf_topk. Rows-only:
+    the k-means fit is not SQL-expressible; bench reports measured recall
+    vs ann_topk (`ann_ivf_recall`)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = ann.ivf_topk(e, q, k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
