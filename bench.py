@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",
     "simhash_docs",
     "ngram_jaccard",
     "embed_neardup",

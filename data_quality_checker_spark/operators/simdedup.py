@@ -178,6 +178,73 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact k-char-shingle Jaccard restricted to the given candidate
+    pairs (doc_a, doc_b) — the LSH→verify stage: → (doc_a, doc_b,
+    jaccard) for EVERY input pair (zero-overlap pairs get jaccard 0).
+
+    Scale shape (vs the corpus-wide ``ngram_jaccard_pairs``): shingles
+    are materialized only for docs that appear in some candidate pair
+    (left-semi join), and the intersection join is keyed on
+    (doc_b, shingle) AFTER fanning pairs out over doc_a's shingles — the
+    doc id in the key spreads stop-shingle hot keys, so no corpus-wide
+    shingle equijoin ever happens. Shuffle volume is O(Σ_cand |A|), i.e.
+    proportional to candidate count × doc length, not corpus².
+    """
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cdocs = docs.join(cand_ids, on=id_col, how="left_semi")
+    sh = shingles(cdocs, k).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dup tier: MinHash-LSH candidates → exact Jaccard
+    verification → pairs with jaccard ≥ threshold. This is the operator
+    to run at corpus scale (candidates bound the exact stage); reference
+    dedup-decision analog: src/core/validator.py:101-123."""
+    cand = minhash_lsh_pairs(docs, k, n_hashes, n_bands)
+    verified = ngram_jaccard_for_pairs(docs, cand, k)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
 def simhash(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     """→ (doc_id, simhash): Charikar sign-random-projection over whitespace
     tokens. Bit b of the fingerprint is 1 iff Σ_tokens (±1 per token,

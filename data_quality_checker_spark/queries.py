@@ -1033,6 +1033,52 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 @register(
+    "minhash_verified_pairs",
+    f"""
+    WITH sig AS ({_minhash_sql(simdedup.N_HASHES)}),
+    bands AS ({_band_sql()}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    ids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    csh AS (
+      SELECT DISTINCT doc_id, substr(text, pos, 8) AS shingle
+      FROM (SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos, text
+            FROM documents
+            WHERE length(text) >= 8 AND doc_id IN (SELECT doc_id FROM ids))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN csh a ON a.doc_id = c.doc_a
+      JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+          / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) >= 0.5
+    """,
+)
+def q_minhash_verified_pairs(spark, sf_dir):
+    """The wired LSH→verify near-dup tier (VERDICT r1 item 3): MinHash-LSH
+    candidates verified by exact shingle Jaccard restricted to candidate
+    pairs — operators/simdedup.minhash_verified_pairs. The plan never
+    joins raw shingles corpus-wide (reference dedup-decision analog:
+    src/core/validator.py:101-123)."""
+    d = _t(spark, sf_dir, "documents")
+    return simdedup.minhash_verified_pairs(d, k=8, threshold=0.5)
+
+
+@register(
     "ngram_jaccard",
     """
     WITH docs AS (SELECT * FROM documents WHERE doc_id < 150),

@@ -212,3 +212,44 @@ def test_ann_probe_is_equi_join(spark, fn):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:1500]
+
+
+def test_ngram_jaccard_for_pairs_matches_corpuswide(spark):
+    """The pair-restricted verifier must agree exactly with the
+    corpus-wide variant on shared pairs, and must emit EVERY input pair
+    (zero-overlap candidates get jaccard 0, so callers can drop them)."""
+    d = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content here with zero overlap!"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in simdedup.ngram_jaccard_for_pairs(d, pairs, k=8).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (1, 4)}
+    assert out[(1, 4)] == 1.0
+    assert out[(1, 3)] == 0.0
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in simdedup.ngram_jaccard_pairs(d, k=8, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == full[(1, 2)]
+
+
+def test_minhash_verified_pairs_end_to_end(spark):
+    d = _docs(
+        spark,
+        [(i, f"unique document number {i} with its own distinct words {i*7}") for i in range(20)]
+        + [(100, "a" * 50), (101, "a" * 50)],
+    )
+    out = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+           simdedup.minhash_verified_pairs(d, k=8, threshold=0.9).collect()]
+    assert (100, 101, 1.0) in out
