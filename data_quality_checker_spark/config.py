@@ -27,7 +27,8 @@ value_in_list, format_check, unique_check, outlier detection.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+import json
+from dataclasses import dataclass, field, asdict, fields, replace
 
 # --- regexes shared by detector (reference semantics) and scrubber -------
 
@@ -82,6 +83,12 @@ class PipelineConfig:
     clip_ratio_max: float = 0.02     # fraction of full-scale samples
     dur_consistency_tol_ms: int = 80  # |decoded_ms - dur_ms| tolerance
 
+    # -- runtime rule registry --------------------------------------------
+    # Per-rule enable/disable, the reference's ValidationRule.enabled flag
+    # (src/api/routes/config.py:21-26) as config state: a disabled rule is
+    # removed from the rule set — it neither fires nor affects keep/drop.
+    disabled_rules: tuple[str, ...] = ()
+
     # -- physical knobs ----------------------------------------------------
     dedup_salt_buckets: int = 16     # two-phase salted SHA-1 dedup (A4)
     n_lineage_buckets: int = 64      # resume granularity (pmod of sha1)
@@ -96,3 +103,84 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+# Canonical rule-name registry (must equal operators/rules.build_rules and
+# oracle/pandas_oracle.RULES — enforced by tests/test_rule_registry.py).
+KNOWN_RULES: tuple[str, ...] = (
+    "clipped_audio",
+    "codec_not_allowed",
+    "decode_failed",
+    "duplicate",
+    "dur_above_max",
+    "dur_below_min",
+    "dur_inconsistent",
+    "dur_outlier",
+    "empty_transcript",
+    "high_perplexity",
+    "missing_bytes",
+    "missing_dur_ms",
+    "missing_sr_hz",
+    "missing_transcript",
+    "pii_email",
+    "pii_phone",
+    "short_transcript",
+    "sr_not_allowed",
+    "toxicity",
+    "wrong_language",
+)
+
+
+def load_rule_config(path: str, base: PipelineConfig = DEFAULT_CONFIG) -> PipelineConfig:
+    """Load a runtime validation-rule configuration file (the file-based
+    analog of the reference's POST /config/validation-rules,
+    src/api/routes/config.py:40-70) and apply it over ``base``:
+
+    .. code-block:: json
+
+        {
+          "config_name": "strict",
+          "rules": [
+            {"rule_name": "duplicate", "enabled": false},
+            {"rule_name": "dur_below_min", "enabled": true,
+             "parameters": {"dur_ms_min": 500}}
+          ],
+          "parameters": {"perplexity_max": 40.0}
+        }
+
+    * ``rules[].enabled: false`` adds the rule to ``disabled_rules``;
+    * ``rules[].parameters`` / top-level ``parameters`` override
+      PipelineConfig fields by name (lists are coerced to tuples to match
+      the frozen dataclass field types);
+    * unknown rule names or config fields raise — a typo must not
+      silently run with defaults.
+
+    The returned config is what ``run/job.py --rules`` serializes into
+    the run's ``config.json`` lineage, so every run records the exact
+    rule set it executed with.
+    """
+    with open(path) as f:
+        doc = json.load(f)
+    valid_fields = {f_.name: f_ for f_ in fields(base)}
+    disabled = set(base.disabled_rules)
+    overrides: dict = {}
+
+    def _apply_param(key: str, value):
+        if key not in valid_fields or key == "disabled_rules":
+            raise ValueError(f"unknown config parameter: {key!r}")
+        if isinstance(getattr(base, key), tuple) and isinstance(value, list):
+            value = tuple(value)
+        overrides[key] = value
+
+    for rule in doc.get("rules", []):
+        name = rule.get("rule_name")
+        if name not in KNOWN_RULES:
+            raise ValueError(f"unknown rule_name: {name!r}")
+        if not rule.get("enabled", True):
+            disabled.add(name)
+        else:
+            disabled.discard(name)
+        for k, v in rule.get("parameters", {}).items():
+            _apply_param(k, v)
+    for k, v in doc.get("parameters", {}).items():
+        _apply_param(k, v)
+    return replace(base, disabled_rules=tuple(sorted(disabled)), **overrides)

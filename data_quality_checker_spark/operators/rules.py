@@ -138,6 +138,10 @@ def build_rules(
         ),
     ]
     assert [r.name for r in rules] == sorted(r.name for r in rules)
+    if cfg.disabled_rules:
+        # runtime rule registry (config.load_rule_config): a disabled rule
+        # is absent from the set — it neither fires nor affects keep/drop
+        rules = [r for r in rules if r.name not in cfg.disabled_rules]
     return rules
 
 

@@ -187,6 +187,8 @@ def label_clips(df: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.Da
                 fired.append("toxicity")
             scrubbed = scrub_text(transcript)
 
+        if cfg.disabled_rules:
+            fired = [r for r in fired if r not in cfg.disabled_rules]
         keep = not any(RULES[r][1] for r in fired)
         records.append(
             {

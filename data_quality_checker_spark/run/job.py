@@ -190,12 +190,20 @@ def main(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--run-id", required=True)
+    p.add_argument(
+        "--rules",
+        help="JSON validation-rule config (per-rule enabled flag + parameter "
+        "overrides, see config.load_rule_config); recorded in the run's "
+        "config.json lineage",
+    )
     args = p.parse_args(argv)
 
+    from ..config import load_rule_config
     from ..session import get_spark
 
+    cfg = load_rule_config(args.rules) if args.rules else DEFAULT_CONFIG
     spark = get_spark(app_name=f"dqc-job-{args.run_id}")
-    stats = run_job(spark, args.input, args.output, args.run_id)
+    stats = run_job(spark, args.input, args.output, args.run_id, cfg)
     print(json.dumps(stats, default=str))
     spark.stop()
 
