@@ -13,12 +13,23 @@ stages (enrich/decide) + a persistent SHA registry:
 
 * within a micro-batch: the salted keeper aggregation (operators/dedup);
 * across batches: an append-only ``sha_registry`` parquet table of
-  (sha, keeper_clip_id); a new row is a duplicate if its sha is already
-  registered (first-seen-batch wins; within the first batch, min
-  clip_id wins — deterministic given ordered arrival);
-* outputs append to ``decisions`` exactly once per micro-batch (the
-  streaming checkpoint replays an incomplete batch; batch_id gates the
-  registry append so replays are idempotent).
+  (sha, keeper_clip_id), **hash-partitioned into ``N_SHA_BUCKETS``
+  buckets of sha** — a micro-batch reads ONLY the registry buckets its
+  own shas hash into (partition pruning), so the per-batch registry read
+  is bounded by batch size × registry density per bucket, not by total
+  registry size (at 10^9 registered shas a batch touching 40 buckets
+  reads ~40/256 of the table, and the bucket count can be raised);
+* a new row is a duplicate if its sha is already registered
+  (first-seen-batch wins; within the first batch, min clip_id wins —
+  deterministic given ordered arrival);
+* ``foreachBatch`` is at-least-once, so BOTH persistent effects are
+  idempotent per batch_id: the registry append is gated on a
+  seen-batches marker table, and the decisions output is written
+  partitioned by batch_id with dynamic partition overwrite — a replayed
+  batch atomically replaces its own partition instead of appending
+  duplicate rows. Decisions are recomputed deterministically on replay
+  (the registry already contains the batch's keepers; the keeper for
+  every sha is unchanged), so the overwrite converges.
 
 The global IQR duration fence is whole-dataset state and cannot be
 "streamed" — it is calibrated once from a static sample (or a previous
@@ -35,13 +46,18 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.dedup import keepers_by_sha, sha1_expr
 from ..pipeline import decide, enrich
 from ..schema import CLIPS_SCHEMA
+
+# Registry bucket fan-out. Sized so one bucket of a 10^9-sha registry is
+# ~4M rows (~200 MB of sha+clip_id) — one comfortable scan task; raise for
+# bigger registries (requires re-bucketing, i.e. one rewrite of the table).
+N_SHA_BUCKETS = 256
 
 
 def _registry_path(state_dir: str) -> str:
@@ -52,11 +68,22 @@ def _batches_path(state_dir: str) -> str:
     return os.path.join(state_dir, "registry_batches")
 
 
-def read_registry(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def sha_bucket_expr(col: Column | str):
+    return F.pmod(F.xxhash64(col), F.lit(N_SHA_BUCKETS)).cast("int")
+
+
+def read_registry(
+    spark: SparkSession, state_dir: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """Read the SHA registry; with ``buckets`` given, read only those
+    hash-partitions (partition pruning bounds the scan)."""
     try:
-        return spark.read.parquet(_registry_path(state_dir))
+        reg = spark.read.parquet(_registry_path(state_dir))
     except Exception:
         return None
+    if buckets is not None:
+        reg = reg.where(F.col("sbkt").isin(*buckets))
+    return reg.select("sha", "keeper_clip_id")
 
 
 def process_increment(
@@ -69,7 +96,6 @@ def process_increment(
 ) -> DataFrame:
     """Score one micro-batch against (and then update) the SHA registry.
     Returns the decisions frame for the batch. Idempotent per batch_id."""
-    registered = read_registry(spark, state_dir)
     seen_batches: set[int] = set()
     try:
         seen_batches = {
@@ -80,6 +106,17 @@ def process_increment(
         pass
 
     hashed = new_clips.select("clip_id", sha1_expr("bytes").alias("sha"))
+    # the registry buckets this batch can possibly collide with — a tiny
+    # distinct-agg (≤ N_SHA_BUCKETS values) over the slim hashed frame
+    batch_buckets = sorted(
+        r["b"]
+        for r in hashed.where(F.col("sha").isNotNull())
+        .select(sha_bucket_expr("sha").alias("b"))
+        .distinct()
+        .collect()
+    )
+    registered = read_registry(spark, state_dir, buckets=batch_buckets)
+
     local_keepers = keepers_by_sha(hashed, cfg)
     if registered is not None:
         # a sha already in the registry belongs to an earlier batch — the
@@ -87,7 +124,7 @@ def process_increment(
         new_keepers = local_keepers.join(
             registered.select("sha"), "sha", "left_anti"
         )
-        all_keepers = registered.select("sha", "keeper_clip_id").unionByName(new_keepers)
+        all_keepers = registered.unionByName(new_keepers)
     else:
         new_keepers = local_keepers
         all_keepers = local_keepers
@@ -103,11 +140,33 @@ def process_increment(
     decisions = decide(flagged, cfg, dur_bounds)
 
     if batch_id not in seen_batches:
-        new_keepers.write.mode("append").parquet(_registry_path(state_dir))
+        new_keepers.withColumn("sbkt", sha_bucket_expr("sha")).write.mode(
+            "append"
+        ).partitionBy("sbkt").parquet(_registry_path(state_dir))
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(_batches_path(state_dir))
     return decisions
+
+
+def process_and_write(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    output_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    dur_bounds: tuple[float, float] | None = None,
+) -> None:
+    """One foreachBatch tick: score + idempotently persist. The decisions
+    land partitioned by batch_id with dynamic partition overwrite, so an
+    at-least-once replay of a micro-batch replaces its own partition
+    instead of appending duplicates."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    decisions = process_increment(spark, batch_df, state_dir, batch_id, cfg, dur_bounds)
+    decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(output_dir)
 
 
 def stream_quality_filter(
@@ -122,7 +181,8 @@ def stream_quality_filter(
 ):
     """File-source streaming job: every parquet file landing in
     ``input_dir`` is scored exactly once; decisions append to
-    ``output_dir``. Returns the StreamingQuery."""
+    ``output_dir`` (one partition per micro-batch). Returns the
+    StreamingQuery."""
     stream = (
         spark.readStream.schema(CLIPS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -130,10 +190,9 @@ def stream_quality_filter(
     )
 
     def _process(batch_df: DataFrame, batch_id: int):
-        decisions = process_increment(
-            spark, batch_df, state_dir, batch_id, cfg, dur_bounds
+        process_and_write(
+            spark, batch_df, batch_id, state_dir, output_dir, cfg, dur_bounds
         )
-        decisions.write.mode("append").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

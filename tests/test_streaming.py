@@ -87,3 +87,55 @@ def test_streaming_query_end_to_end(spark, clips_df, halves, tmp_path_factory):
     # cross-batch dedup engaged: some duplicates must be flagged
     n_dups = got.where(F.array_contains("rules_fired", "duplicate")).count()
     assert n_dups > 0
+
+
+def test_registry_read_is_bucket_pruned(spark, halves, tmp_path_factory):
+    """The per-batch registry read must touch ONLY the sha-buckets present
+    in the batch (VERDICT r1 item 6). Proof: after the first batch, plant
+    a CORRUPT parquet file in a registry bucket the second batch's shas do
+    not hash into — if the read were unbounded it would crash on it."""
+    from data_quality_checker_spark.operators.dedup import sha1_expr
+    from data_quality_checker_spark.streaming.incremental import sha_bucket_expr
+
+    state = str(tmp_path_factory.mktemp("stream_state4"))
+    files = sorted(glob.glob(os.path.join(halves, "*.parquet")))
+    b0 = spark.read.parquet(files[0])
+    process_increment(spark, b0, state, 0).count()
+
+    b1 = spark.read.parquet(files[1])
+    used = {
+        r["b"]
+        for r in b1.select(sha1_expr("bytes").alias("sha"))
+        .where(F.col("sha").isNotNull())
+        .select(sha_bucket_expr("sha").alias("b"))
+        .distinct()
+        .collect()
+    }
+    from data_quality_checker_spark.streaming.incremental import N_SHA_BUCKETS
+
+    foreign = next(b for b in range(N_SHA_BUCKETS) if b not in used)
+    bad_dir = os.path.join(state, "sha_registry", f"sbkt={foreign}")
+    os.makedirs(bad_dir, exist_ok=True)
+    with open(os.path.join(bad_dir, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    # would raise on an unpruned scan; must succeed on a pruned one
+    process_increment(spark, b1, state, 1).count()
+
+
+def test_output_replay_is_idempotent(spark, halves, tmp_path_factory):
+    """foreachBatch is at-least-once: replaying a batch (crash between the
+    output write and the checkpoint commit) must not duplicate decision
+    rows (ADVICE r1)."""
+    from data_quality_checker_spark.streaming.incremental import process_and_write
+
+    state = str(tmp_path_factory.mktemp("stream_state5"))
+    out = str(tmp_path_factory.mktemp("stream_out5"))
+    f = sorted(glob.glob(os.path.join(halves, "*.parquet")))[0]
+    batch = spark.read.parquet(f)
+    process_and_write(spark, batch, 0, state, out)
+    n1 = spark.read.parquet(out).count()
+    process_and_write(spark, batch, 0, state, out)  # replay
+    got = spark.read.parquet(out)
+    assert got.count() == n1
+    assert got.select("clip_id").distinct().count() == n1
