@@ -115,3 +115,68 @@ def column_findings(
 def summary(findings: DataFrame) -> DataFrame:
     """Severity × rule histogram (validator.py:326-341 analog)."""
     return findings.groupBy("severity", "rule").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cell_missing_stats(df: DataFrame) -> DataFrame:
+    """A17 — GLOBAL cell-missing metric (src/core/ml_advisor.py:96-99:
+    total_missing / (rows × cols) × 100) in one aggregate pass:
+    → (n_rows, n_cols, n_missing_cells, missing_pct)."""
+    cols = df.columns
+    missing = sum(
+        (F.sum(F.col(c).isNull().cast("bigint")) for c in cols), F.lit(0).cast("bigint")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(cols)).cast("bigint").alias("n_cols"),
+        missing.alias("n_missing_cells"),
+    ).select(
+        "n_rows",
+        "n_cols",
+        "n_missing_cells",
+        F.round(
+            F.when(
+                F.col("n_rows") > 0,
+                F.col("n_missing_cells") * 100.0 / (F.col("n_rows") * F.col("n_cols")),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("missing_pct"),
+    )
+
+
+def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A16 — the ``df.describe(include='all')`` block of the reference's
+    report (src/core/reporting.py:35), long-format and EXACT (linear-
+    interpolation percentiles, like pandas; Spark's df.summary() uses
+    approx_percentile and caps at its default accuracy):
+    → (column, n, mean, stddev, min, q25, median, q75, max), one row per
+    requested numeric column, all stats from ONE aggregate pass."""
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"{c}__n"),
+            F.round(F.avg(x), 4).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(x), 4).alias(f"{c}__stddev"),
+            F.round(F.min(x), 4).alias(f"{c}__min"),
+            F.round(F.expr(f"percentile(cast({c} as double), 0.25)"), 4).alias(f"{c}__q25"),
+            F.round(F.expr(f"percentile(cast({c} as double), 0.5)"), 4).alias(f"{c}__median"),
+            F.round(F.expr(f"percentile(cast({c} as double), 0.75)"), 4).alias(f"{c}__q75"),
+            F.round(F.max(x), 4).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stats = ["n", "mean", "stddev", "min", "q25", "median", "q75", "max"]
+    stack_args = ", ".join(
+        "'{c}', {fields}".format(
+            c=c, fields=", ".join(f"`{c}__{s}`" for s in stats)
+        )
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, {', '.join(stats)})"
+        )
+    ).select(
+        "column",
+        F.col("n").cast("bigint").alias("n"),
+        *[F.col(s).cast("double").alias(s) for s in stats[1:]],
+    )

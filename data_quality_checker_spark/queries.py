@@ -1237,6 +1237,66 @@ def q_ann_topk(spark, sf_dir):
 # models are not SQL-expressible — the pandas oracle in tests covers them)
 # ===========================================================================
 
+@register(
+    "cell_missing_pct",
+    """
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_cells
+      FROM events
+    )
+    SELECT n_rows, CAST(6 AS BIGINT) AS n_cols, n_missing_cells,
+           round(CASE WHEN n_rows > 0
+                      THEN n_missing_cells * 100.0 / (n_rows * 6)
+                      ELSE 0.0 END, 4) AS missing_pct
+    FROM m
+    """,
+)
+def q_cell_missing_pct(spark, sf_dir):
+    """A17 — global cell-missing percentage (ml_advisor.py:96-99:
+    total_missing/total_cells), one aggregate pass over all columns —
+    operators/metrics.cell_missing_stats."""
+    from .operators.metrics import cell_missing_stats
+
+    return cell_missing_stats(_t(spark, sf_dir, "events"))
+
+
+_SUMMARY_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "summary_stats_lineitem",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(count({c}) AS BIGINT) AS n,
+           round(avg(CAST({c} AS DOUBLE)), 4) AS mean,
+           round(stddev_samp(CAST({c} AS DOUBLE)), 4) AS stddev,
+           round(min(CAST({c} AS DOUBLE)), 4) AS min,
+           round(quantile_cont(CAST({c} AS DOUBLE), 0.25), 4) AS q25,
+           round(quantile_cont(CAST({c} AS DOUBLE), 0.5), 4) AS median,
+           round(quantile_cont(CAST({c} AS DOUBLE), 0.75), 4) AS q75,
+           round(max(CAST({c} AS DOUBLE)), 4) AS max
+    FROM lineitem
+    """
+        for c in _SUMMARY_COLS
+    ),
+)
+def q_summary_stats_lineitem(spark, sf_dir):
+    """A16 — the describe()/df.summary() analog (reporting.py:35), exact
+    linear-interpolation percentiles, long format, ONE aggregate pass for
+    all columns — operators/metrics.summary_stats."""
+    from .operators.metrics import summary_stats
+
+    return summary_stats(_t(spark, sf_dir, "lineitem"), _SUMMARY_COLS)
+
+
 def _sf_of(sf_dir: str) -> tuple[str, float]:
     base = os.path.basename(os.path.normpath(sf_dir))
     return base, (float(base[2:]) if base.startswith("sf") else 0.01)

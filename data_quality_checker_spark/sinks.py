@@ -104,3 +104,116 @@ def save_markdown_report(
     with open(path, "w") as f:
         f.write(md)
     return md
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "record",
+    root_tag: str = "data",
+    max_rows: int = 100_000,
+) -> str:
+    """S7 — minimal XML sink (reference: src/core/export_formats.py:43-69,
+    the ElementTree fallback shape: <data><record><col>v</col>…).
+    Driver-side single file, HARD-CAPPED at ``max_rows`` — XML export is
+    a config/report-scale interchange format, not a data-plane sink
+    (parquet/csv/json writers above are the distributed paths). NULLs
+    become empty elements, matching the reference ('' for NaN)."""
+    import xml.etree.ElementTree as ET
+
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"XML export capped at {max_rows} rows; use parquet/csv/json for data-plane exports"
+        )
+    root = ET.Element(root_tag)
+    for r in rows:
+        rec = ET.SubElement(root, row_tag)
+        for c in df.columns:
+            el = ET.SubElement(rec, c)
+            v = r[c]
+            el.text = "" if v is None else str(v)
+    ET.ElementTree(root).write(path, encoding="utf-8", xml_declaration=True)
+    return path
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 60rem;
+         color: #1a1a1a; }}
+ h1 {{ border-bottom: 2px solid #444; padding-bottom: .3rem; }}
+ table {{ border-collapse: collapse; margin: 1rem 0; }}
+ th, td {{ border: 1px solid #bbb; padding: .35rem .7rem; text-align: left; }}
+ th {{ background: #f0f0f0; }}
+ .sev-high {{ color: #b00020; font-weight: 600; }}
+ .sev-medium {{ color: #b36b00; }}
+ .sev-low {{ color: #396; }}
+</style></head><body>
+{body}
+</body></html>
+"""
+
+
+def _html_escape(v) -> str:
+    import html
+
+    return html.escape("" if v is None else str(v))
+
+
+def _html_table(headers: list[str], rows: list[list]) -> str:
+    th = "".join(f"<th>{_html_escape(h)}</th>" for h in headers)
+    trs = []
+    for row in rows:
+        tds = []
+        for h, v in zip(headers, row):
+            cls = f' class="sev-{v}"' if h == "severity" and v in ("high", "medium", "low") else ""
+            tds.append(f"<td{cls}>{_html_escape(v)}</td>")
+        trs.append("<tr>" + "".join(tds) + "</tr>")
+    return f"<table><thead><tr>{th}</tr></thead><tbody>{''.join(trs)}</tbody></table>"
+
+
+def html_report(
+    summary_rows: list,
+    column_findings_rows: list,
+    n_rows: int,
+    run_id: str = "adhoc",
+) -> str:
+    """S12 — HTML metrics report (export_utils.py:29-92 analog), rendered
+    driver-side from the SAME collected aggregates as ``markdown_report``
+    — dependency-free (no markdown/wkhtmltopdf in this environment; the
+    template is inlined like the reference's report_template.html)."""
+    body = [
+        f"<h1>Data Quality Report — run {_html_escape(run_id)}</h1>",
+        f"<p>Dataset rows: <strong>{n_rows}</strong></p>",
+        "<h2>Findings by severity × rule</h2>",
+        _html_table(
+            ["severity", "rule", "count"],
+            [
+                [r["severity"], r["rule"], r["n"]]
+                for r in sorted(summary_rows, key=lambda r: (r["severity"], r["rule"]))
+            ],
+        ),
+        "<h2>Dataset-level findings</h2>",
+        _html_table(
+            ["rule", "column", "severity", "detail"],
+            [
+                [r["rule"], r["column_name"] or "—", r["severity"], r["detail"]]
+                for r in column_findings_rows
+            ],
+        ),
+    ]
+    return _HTML_TEMPLATE.format(title=f"DQ report {run_id}", body="\n".join(body))
+
+
+def save_html_report(
+    summary: DataFrame,
+    column_findings: DataFrame,
+    n_rows: int,
+    path: str,
+    run_id: str = "adhoc",
+) -> str:
+    html = html_report(summary.collect(), column_findings.collect(), n_rows, run_id)
+    with open(path, "w") as f:
+        f.write(html)
+    return html

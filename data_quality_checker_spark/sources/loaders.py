@@ -116,3 +116,39 @@ def fetch_url_to_local(url: str, dest: str, max_bytes: int = 100 * 1024 * 1024,
                 raise ValueError(f"download exceeds {max_bytes} byte cap")
             out.write(chunk)
     return dest
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "record",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S3 — minimal XML scan (reference: src/core/data_loader.py:18-20,
+    ``pd.read_xml``). Driver-side ElementTree parse → createDataFrame —
+    deliberately config-scale only (rule files, small uploads), matching
+    the reference's in-memory upload path; a 100 TB XML corpus is not a
+    thing (and if it were, the spark-xml datasource is the tool). Each
+    ``<row_tag>`` element becomes a row; child-element text becomes
+    all-string columns unless ``schema`` is given (empty text → NULL,
+    the pandas NaN analog)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    records = []
+    cols: list[str] = []
+    for rec in root.iter(row_tag):
+        row = {}
+        for child in rec:
+            if child.tag not in cols:
+                cols.append(child.tag)
+            row[child.tag] = child.text if child.text not in (None, "") else None
+        records.append(row)
+    if schema is None:
+        schema = T.StructType([T.StructField(c, T.StringType(), True) for c in cols])
+    # element text is always string; build as strings, then cast to the
+    # declared schema (the XML analog of csv schema application)
+    wire = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
+    data = [tuple(r.get(f.name) for f in schema.fields) for r in records]
+    df = spark.createDataFrame(data, wire)
+    return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])

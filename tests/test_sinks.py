@@ -58,3 +58,55 @@ def test_markdown_report(result, clips_df, tmp_path_factory):
     assert "# Data Quality Report" in md
     assert "duplicate" in md
     assert os.path.exists(p)
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """S3/S7 — a frame survives write_xml → read_xml with declared schema
+    (NULL → empty element → NULL)."""
+    from pyspark.sql import types as T
+
+    from data_quality_checker_spark.sinks import write_xml
+    from data_quality_checker_spark.sources.loaders import read_xml
+
+    df = spark.createDataFrame(
+        [(1, "hello <world> & co", 2.5), (2, None, None)],
+        "id bigint, label string, score double",
+    )
+    p = str(tmp_path / "out.xml")
+    write_xml(df, p)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_xml(spark, p, schema=schema)
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == [(1, "hello <world> & co", 2.5), (2, None, None)]
+
+
+def test_xml_write_cap(spark, tmp_path):
+    from data_quality_checker_spark.sinks import write_xml
+
+    df = spark.range(10)
+    import pytest
+
+    with pytest.raises(ValueError, match="capped"):
+        write_xml(df, str(tmp_path / "cap.xml"), max_rows=5)
+
+
+def test_html_report(spark, clips_df, tmp_path):
+    """S12 — the HTML render carries the same aggregates as markdown and
+    escapes cell content."""
+    from data_quality_checker_spark.pipeline import run_pipeline
+    from data_quality_checker_spark.sinks import save_html_report
+
+    res = run_pipeline(spark, clips_df, with_column_findings=True)
+    p = str(tmp_path / "report.html")
+    html = save_html_report(res.summary, res.column_findings, clips_df.count(), p, "r42")
+    on_disk = open(p).read()
+    assert html == on_disk
+    assert "<table>" in html and "r42" in html
+    assert "duplicate" in html  # a rule name made it into the table
+    assert 'class="sev-high"' in html
