@@ -127,6 +127,35 @@ def main():
     except Exception:
         pass
 
+    # Steady-state pass (VERDICT r1 bench hygiene): identical plans on the
+    # now-warm session — splits session+UDF-worker warmup (first pass)
+    # from steady-state cost so round-over-round regressions are
+    # attributable to plans, not to JVM/Python startup noise.
+    warm: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t0, 3)
+    extras["queries_warm"] = warm
+    extras["value_warm"] = round(sum(warm.values()), 3)
+
+    # per-query delta vs the latest recorded round (cold-pass comparison)
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as f:
+                prev = json.load(f)
+            pq = prev.get("queries", {})
+            extras["prev_bench"] = os.path.basename(prev_files[-1])
+            extras["delta_vs_prev"] = {
+                k: round(timings[k] - pq[k], 3) for k in timings if k in pq
+            }
+        except Exception:
+            pass
+
     out = {
         "metric": "total headline query wall-seconds (corpus pipeline + operator suite)",
         "value": round(total, 3),

@@ -184,6 +184,7 @@ def ngram_jaccard_for_pairs(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Exact k-char-shingle Jaccard restricted to the given candidate
     pairs (doc_a, doc_b) — the LSH→verify stage: → (doc_a, doc_b,
@@ -204,6 +205,15 @@ def ngram_jaccard_for_pairs(
     )
     cdocs = docs.join(cand_ids, on=id_col, how="left_semi")
     sh = shingles(cdocs, k).distinct()
+    if materialize_shingles:
+        # OFF by default — measured 2× SLOWER at sf0.1 (35–49 s vs 19 s):
+        # the shingle explode recompute is cheap column work, while the
+        # cache fill shuffles ~1M strings and the now-known (large) size
+        # flips the planner's build-side choices for the worse. Kept as a
+        # switch for corpora whose shingle explode is the expensive part
+        # (very long docs, small candidate sets).
+        sh = sh.persist()
+        sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
@@ -235,12 +245,29 @@ def minhash_verified_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
+    materialize_candidates: bool = True,
 ) -> DataFrame:
     """The full near-dup tier: MinHash-LSH candidates → exact Jaccard
     verification → pairs with jaccard ≥ threshold. This is the operator
     to run at corpus scale (candidates bound the exact stage); reference
-    dedup-decision analog: src/core/validator.py:101-123."""
+    dedup-decision analog: src/core/validator.py:101-123.
+
+    The candidate list is consumed three times by the verifier (id
+    semi-join, intersection fan-out, final pair join); without a
+    materialization barrier Spark re-runs the whole
+    shingle→minhash→band self-join per consumer (measured 2× wall at
+    sf0.1 / 312k candidates). ``materialize_candidates`` persists and
+    eagerly fills the (doc_a, doc_b) list — two longs per row, far
+    smaller than the corpus, and persist (unlike localCheckpoint, which
+    erases size statistics and costs the verify joins their broadcast
+    strategy) keeps accurate stats for the planner. The cache entry is
+    deliberately left for LRU eviction: the operator returns a lazy frame
+    whose consumers still need it. A production pipeline makes this same
+    boundary a table write between the LSH and verify jobs."""
     cand = minhash_lsh_pairs(docs, k, n_hashes, n_bands)
+    if materialize_candidates:
+        cand = cand.persist()
+        cand.count()
     verified = ngram_jaccard_for_pairs(docs, cand, k)
     return verified.where(F.col("jaccard") >= threshold)
 
