@@ -139,3 +139,35 @@ def test_output_replay_is_idempotent(spark, halves, tmp_path_factory):
     got = spark.read.parquet(out)
     assert got.count() == n1
     assert got.select("clip_id").distinct().count() == n1
+
+
+def test_stateful_dedup_matches_registry_semantics(spark, clips_df, halves, tmp_path_factory):
+    """applyInPandasWithState dedup (engine-managed state) must agree
+    with the registry-based path: first-seen batch wins, min clip_id
+    within a batch, null-sha rows pass through unflagged."""
+    from data_quality_checker_spark.operators.dedup import sha1_expr
+    from data_quality_checker_spark.streaming.stateful import stream_dedup_flags
+
+    out = str(tmp_path_factory.mktemp("state_out"))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    q = stream_dedup_flags(spark, halves, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {r["clip_id"]: (r["is_duplicate"], r["keeper_clip_id"])
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == clips_df.count()
+
+    # batch expectation: files arrive in clip_id order, so global keeper
+    # = min clip_id per sha — identical to the batch pipeline's keepers
+    hashed = clips_df.select("clip_id", sha1_expr("bytes").alias("sha"))
+    expected = {}
+    keepers = {r["sha"]: r["k"] for r in
+               hashed.where(F.col("sha").isNotNull())
+               .groupBy("sha").agg(F.min("clip_id").alias("k")).collect()}
+    for r in hashed.collect():
+        if r["sha"] is None:
+            expected[r["clip_id"]] = (False, None)
+        else:
+            k = keepers[r["sha"]]
+            expected[r["clip_id"]] = (r["clip_id"] != k, k)
+    assert got == expected

@@ -253,3 +253,31 @@ def test_minhash_verified_pairs_end_to_end(spark):
     out = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
            simdedup.minhash_verified_pairs(d, k=8, threshold=0.9).collect()]
     assert (100, 101, 1.0) in out
+
+
+def test_minhash_verified_pairs_collapsed_equivalence(spark):
+    """The exact-dedup-first variant must produce EXACTLY the direct
+    operator's pair set on a corpus with duplicate cliques (identical
+    text => identical signatures/buckets/jaccard)."""
+    base = [
+        (i, f"some shared template text with variant number {i} appended here")
+        for i in range(12)
+    ]
+    clique = [(100 + j, "exactly the same duplicated document body!") for j in range(5)]
+    short = [(200, "tiny"), (201, "tiny")]  # < k: never LSH-eligible
+    d = _docs(spark, base + clique + short)
+    direct = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in simdedup.minhash_verified_pairs(d, k=8, threshold=0.3).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in simdedup.minhash_verified_pairs_collapsed(d, k=8, threshold=0.3).collect()
+    }
+    assert direct == collapsed
+    # the clique is fully connected at jaccard 1.0
+    for x in range(100, 105):
+        for y in range(x + 1, 105):
+            assert (x, y, 1.0) in collapsed
+    # short docs never pair
+    assert not any(a >= 200 or b >= 200 for a, b, _ in collapsed)

@@ -22,8 +22,9 @@ two-phase SHA-1 dedup runs in its design regime), written as 128 parquet
 files so scan parallelism is file-granular.
 
 Usage: python tools/bench_scaling.py [--replicas 96] [--small 2 --large 8]
-(default N=2 vs 4N=8 — the pair below this host's ~1.5 GB/s aggregate
-memory-bandwidth ceiling; see BENCH/BASELINE.md for the 8/32 analysis)
+(default N=1 vs 4N=4, median of --repeats 3 — the pair below this
+host's ~1.5 GB/s aggregate memory-bandwidth ceiling AND below its run-
+to-run variance at high core counts; see BENCH/BASELINE.md)
 """
 
 from __future__ import annotations
@@ -66,7 +67,23 @@ def warm_cache(path: str) -> None:
     subprocess.run(f"cat {path}/* > /dev/null 2>&1", shell=True)
 
 
-def run_at(corpus: str, cores: int, workload: str = "full") -> dict:
+def run_at(corpus: str, cores: int, workload: str = "full", repeats: int = 1) -> dict:
+    """Median-of-repeats: single runs on this shared VM vary ±30% at high
+    core counts (page cache, JIT, host neighbors); the median of 3
+    interleaved repeats is stable to a few percent."""
+    if repeats > 1:
+        runs = sorted(
+            (run_at(corpus, cores, workload) for _ in range(repeats)),
+            key=lambda r: r["seconds"],
+        )
+        med = runs[len(runs) // 2]
+        med = dict(med)
+        med["all_seconds"] = [r["seconds"] for r in runs]
+        return med
+    return _run_once(corpus, cores, workload)
+
+
+def _run_once(corpus: str, cores: int, workload: str = "full") -> dict:
     env = dict(os.environ)
     # heap sized for the high-core payload workload (32 concurrent tasks
     # of ~60 MB Arrow batches + parquet buffers starve an 8g heap)
@@ -90,16 +107,17 @@ def run_at(corpus: str, cores: int, workload: str = "full") -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=96)
-    ap.add_argument("--small", type=int, default=2)
-    ap.add_argument("--large", type=int, default=8)
+    ap.add_argument("--small", type=int, default=1)
+    ap.add_argument("--large", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     corpus = build_corpus(args.replicas)
     warm_cache(corpus)
     results = {}
     for workload in ("full", "text"):
-        r_small = run_at(corpus, args.small, workload)
-        r_large = run_at(corpus, args.large, workload)
+        r_small = run_at(corpus, args.small, workload, args.repeats)
+        r_large = run_at(corpus, args.large, workload, args.repeats)
         factor = args.large / args.small
         eff = (r_large["rows_per_sec"] / r_small["rows_per_sec"]) / factor
         results[workload] = {
