@@ -128,10 +128,21 @@ def shingles(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
+def fingerprints(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
     """Per-document rolling-hash fingerprint: the minimum 60-bit hash over
     all character k-gram shingles (1-min-sketch — the degenerate MinHash;
     doubles as a cheap content fingerprint for near-dup candidate pruning).
+
+    Plan: array_min over a transform() of shingle hashes — ZERO shuffle
+    (the former explode + groupBy(doc_id) formulation paid a partial-agg
+    shuffle and the explode row blow-up; this is a pure map over the
+    scan, the plan you want for a per-row sketch at any corpus size).
     """
-    sh = shingles(docs, k)
-    return sh.groupBy("doc_id").agg(F.min(_h64(F.col("shingle"))).alias("fingerprint"))
+    hashes = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    return (
+        docs.where(F.length(text_col) >= k)
+        .select("doc_id", F.array_min(hashes).alias("fingerprint"))
+    )

@@ -76,3 +76,17 @@ def test_udfs_not_marked_nondeterministic(spark):
 
     for name, udf in get_udfs().items():
         assert udf.deterministic, name
+
+
+def test_fingerprints_plan_has_no_shuffle(spark):
+    """The 1-min-sketch is a pure per-row map (array_min over transform);
+    an Exchange in this plan means someone reintroduced the explode +
+    groupBy formulation."""
+    from data_quality_checker_spark.operators.text import fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "some document text long enough to shingle")],
+        "doc_id bigint, text string",
+    )
+    plan = _executed_plan(fingerprints(docs))
+    assert "Exchange" not in plan, plan[:1200]
