@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "window_rank",
     "join_fk_count",
     "join_left_agg",
+    "regional_revenue",
     "compare_days",
     "set_ops_users",
     "doc_quality",
