@@ -204,5 +204,13 @@ def write_clips_parquet(path: str, sf: float, cfg: PipelineConfig = DEFAULT_CONF
             pa.field("transcript", pa.string()),
         ]
     )
-    pq.write_table(table.cast(schema), path)
+    # tmp+rename: a concurrent generator (driver smoke-check racing the
+    # bench) must never observe a half-written file; os.replace is atomic
+    # and the loser's rename simply overwrites with identical bytes
+    # (deterministic corpus).
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table.cast(schema), tmp)
+    os.replace(tmp, path)
     return df
