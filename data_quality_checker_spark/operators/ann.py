@@ -333,3 +333,86 @@ def ivf_topk(
     )
     cand = base.join(F.broadcast(q), on="cid")
     return _rerank_topk(cand, k)
+
+
+# --- persisted IVF index: build once, probe many ---------------------------
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    assign_mult: int = IVF_ASSIGN_MULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index on storage — the production shape
+    (Faiss: train once, add once, search many):
+
+    * ``{path}/centroids.parquet`` — (cid, weights: array<double>), tiny;
+    * ``{path}/assigned/cid=K/...`` — the corpus exploded to its
+      ``assign_mult`` nearest centroids, **partitioned by cid**, so a
+      probe reads ONLY its probed partitions (manifest-level pruning —
+      at 10^12 rows a 32-of-4096-centroid probe touches <1% of files).
+
+    Returns the centroid matrix (also persisted)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    centroids = fit_ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    assign_udf = _top_centroid_udf(centroids, assign_mult)
+    (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("nv"),
+            F.explode(assign_udf(F.col(vec_col))).alias("cid"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/assigned")
+    )
+    cdf = pd.DataFrame(
+        {"cid": range(len(centroids)), "weights": [list(map(float, c)) for c in centroids]}
+    )
+    import os
+
+    tmp = f"{path}/centroids.parquet.tmp"
+    pq.write_table(pa.Table.from_pandas(cdf, preserve_index=False), tmp)
+    os.replace(tmp, f"{path}/centroids.parquet")
+    return centroids
+
+
+def load_ivf_centroids(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{path}/centroids.parquet").to_pandas().sort_values("cid")
+    return np.array([np.array(w, dtype=np.float64) for w in t["weights"]])
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: queries → probe centroid ids →
+    **partition-pruned** read of only those ``cid=`` partitions →
+    equi-join → exact re-rank. The corpus is never rescanned; the probe
+    cid set is collected driver-side (≤ Q·nprobe ints) so the filter is
+    a static IN-list the parquet source prunes on at planning time."""
+    centroids = load_ivf_centroids(path)
+    probe_udf = _top_centroid_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cid"),
+    )
+    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    assigned = (
+        spark.read.parquet(f"{path}/assigned").where(F.col("cid").isin(probe_cids))
+    )
+    cand = assigned.join(F.broadcast(q), on="cid")
+    return _rerank_topk(cand, k)

@@ -281,3 +281,29 @@ def test_minhash_verified_pairs_collapsed_equivalence(spark):
             assert (x, y, 1.0) in collapsed
     # short docs never pair
     assert not any(a >= 200 or b >= 200 for a, b, _ in collapsed)
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """build-once/probe-many: the persisted-index probe must return the
+    same top-k as the inline operator with the same centroids, and its
+    scan must be partition-pruned to the probed cid partitions."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    en = rng.standard_normal((200, 16))
+    en /= np.linalg.norm(en, axis=1, keepdims=True)
+    e = _emb(spark, [(i, [float(x) for x in v]) for i, v in enumerate(en)])
+    q = e.where("vec_id < 5")
+
+    idx = str(tmp_path / "ivf")
+    cents = ann.build_ivf_index(e, idx, n_centroids=16, assign_mult=2)
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann.ivf_topk(e, q, k=3, nprobe=4, assign_mult=2, centroids=cents).collect()
+    }
+    from_index = ann.ivf_topk_from_index(spark, idx, q, k=3, nprobe=4)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in from_index.collect()}
+    assert got == inline
+
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200], plan[:1500]
