@@ -496,7 +496,7 @@ def embedding_neardup_pairs(
 
     thr = float(threshold)
 
-    def _block_cosine(key, pdf: pd.DataFrame):
+    def _block_cosine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
         left = pdf[pdf["blk"] == bi]
         right = pdf[pdf["blk"] == bj]
