@@ -109,3 +109,49 @@ def history(
         .offset((page - 1) * page_size)
         .limit(page_size)
     )
+
+
+def usage_metrics(spark: SparkSession, output: str, days: int = 7) -> dict:
+    """GET /metrics/usage analog (src/api/routes/metrics.py:23-90):
+    windowed totals over the lineage + findings tables — total runs,
+    rows processed, total findings, avg findings per run, runs by day.
+
+    One tiny aggregate per table (lineage rows = runs × buckets; the
+    per-day rollup groups a frame that is already small), windowed on
+    the lineage commit timestamp — the run-history analog of the
+    reference's CheckSession.created_at cutoff."""
+    lineage = spark.read.parquet(os.path.join(output, "lineage"))
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {int(days)} DAYS")
+    recent = lineage.where(F.col("completed_at") >= cutoff)
+
+    runs = recent.groupBy("run_id").agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.max("completed_at").alias("completed_at"),
+    )
+    totals = runs.agg(
+        F.count(F.lit(1)).alias("total_runs"),
+        F.coalesce(F.sum("rows_in"), F.lit(0)).alias("rows_processed"),
+    ).first()
+
+    run_ids = [r["run_id"] for r in runs.select("run_id").collect()]
+    total_findings = 0
+    if run_ids:
+        findings = _findings_with_run(spark, output)
+        total_findings = findings.where(F.col("run_id").isin(run_ids)).count()
+
+    by_day = {
+        str(r["day"]): r["n"]
+        for r in runs.groupBy(F.to_date("completed_at").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("day"))
+        .collect()
+    }
+    total_runs = int(totals["total_runs"])
+    return {
+        "period_days": days,
+        "total_runs": total_runs,
+        "rows_processed": int(totals["rows_processed"]),
+        "total_findings": int(total_findings),
+        "avg_findings_per_run": round(total_findings / total_runs, 4) if total_runs else 0.0,
+        "runs_by_day": by_day,
+    }

@@ -123,3 +123,57 @@ def test_job_cli_records_rules_in_lineage(spark, clips_df, tmp_path):
     job.run_job(spark, inp, out, "r1", cfg)
     recorded = json.load(open(tmp_path / "out" / "runs" / "run_id=r1" / "config.json"))
     assert recorded["config"]["disabled_rules"] == ["duplicate"]
+
+
+def test_config_store_crud(tmp_path):
+    """Named-config CRUD (reference /config/validation-rules surface):
+    create, list, get, update, delete; invalid docs never land."""
+    from data_quality_checker_spark import config_store as cs
+
+    store = str(tmp_path / "store")
+    doc = {
+        "config_name": "strict",
+        "description": "strict rules",
+        "rules": [{"rule_name": "duplicate", "enabled": False}],
+    }
+    cs.save_config(store, doc)
+    assert cs.list_configs(store) == [
+        {"config_name": "strict", "description": "strict rules", "rules_count": 1}
+    ]
+    assert cs.get_config(store, "strict")["rules"][0]["rule_name"] == "duplicate"
+    assert cs.resolve_config(store, "strict").disabled_rules == ("duplicate",)
+
+    with pytest.raises(FileExistsError):
+        cs.save_config(store, doc)
+    cs.update_config(store, "strict", {**doc, "description": "v2"})
+    assert cs.get_config(store, "strict")["description"] == "v2"
+
+    # an invalid document must not be stored (validated pre-publish)
+    bad = {"config_name": "typo", "rules": [{"rule_name": "duplicat"}]}
+    with pytest.raises(ValueError):
+        cs.save_config(store, bad)
+    assert [c["config_name"] for c in cs.list_configs(store)] == ["strict"]
+
+    cs.delete_config(store, "strict")
+    assert cs.list_configs(store) == []
+    with pytest.raises(KeyError):
+        cs.get_config(store, "strict")
+
+
+def test_usage_metrics_over_lineage(spark, clips_df, tmp_path):
+    """GET /metrics/usage analog over the job's lineage+findings tables."""
+    import data_quality_checker_spark.run.job as job
+    from data_quality_checker_spark.run.compare import usage_metrics
+
+    inp = str(tmp_path / "clips")
+    out = str(tmp_path / "out")
+    clips_df.write.parquet(inp)
+    job.run_job(spark, inp, out, "r1")
+    m = usage_metrics(spark, out, days=7)
+    assert m["total_runs"] == 1
+    assert m["rows_processed"] == clips_df.count()
+    assert m["total_findings"] > 0
+    assert m["avg_findings_per_run"] == m["total_findings"]
+    assert sum(m["runs_by_day"].values()) == 1
+    # outside the window: nothing
+    assert usage_metrics(spark, out, days=0)["total_runs"] == 0
