@@ -173,6 +173,46 @@ def _html_table(headers: list[str], rows: list[list]) -> str:
     return f"<table><thead><tr>{th}</tr></thead><tbody>{''.join(trs)}</tbody></table>"
 
 
+_SEV_COLORS = {"high": "#b00020", "medium": "#b36b00", "low": "#339966"}
+
+
+def svg_bar_chart(
+    pairs: list[tuple[str, int]],
+    title: str,
+    width: int = 640,
+    bar_h: int = 18,
+    colors: dict[str, str] | None = None,
+) -> str:
+    """Dependency-free inline-SVG horizontal bar chart — the analog of
+    the reference's matplotlib visualizations embedded in the HTML
+    report (src/core/visualizations.py + export_utils.py:47-78, which
+    need matplotlib; SVG needs nothing). Driver-side, report-scale."""
+    if not pairs:
+        return ""
+    vmax = max(v for _, v in pairs) or 1
+    label_w, gap, pad = 170, 6, 4
+    rows = []
+    for i, (label, v) in enumerate(pairs):
+        y = i * (bar_h + gap)
+        w = int((width - label_w - 60) * v / vmax)
+        color = (colors or {}).get(label, "#4472a8")
+        rows.append(
+            f'<text x="{label_w - 8}" y="{y + bar_h - pad}" text-anchor="end" '
+            f'font-size="12">{_html_escape(label)}</text>'
+            f'<rect x="{label_w}" y="{y}" width="{max(w, 1)}" height="{bar_h}" '
+            f'fill="{color}"/>'
+            f'<text x="{label_w + max(w, 1) + 6}" y="{y + bar_h - pad}" '
+            f'font-size="12">{v}</text>'
+        )
+    h = len(pairs) * (bar_h + gap) + 24
+    return (
+        f'<figure><figcaption>{_html_escape(title)}</figcaption>'
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{h}" '
+        f'font-family="system-ui, sans-serif">'
+        f'<g transform="translate(0,12)">{"".join(rows)}</g></svg></figure>'
+    )
+
+
 def html_report(
     summary_rows: list,
     column_findings_rows: list,
@@ -182,10 +222,21 @@ def html_report(
     """S12 — HTML metrics report (export_utils.py:29-92 analog), rendered
     driver-side from the SAME collected aggregates as ``markdown_report``
     — dependency-free (no markdown/wkhtmltopdf in this environment; the
-    template is inlined like the reference's report_template.html)."""
+    template is inlined like the reference's report_template.html).
+    Includes the reference's severity / per-rule charts as inline SVG."""
+    sev_counts: dict[str, int] = {}
+    rule_counts: dict[str, int] = {}
+    for r in summary_rows:
+        sev_counts[r["severity"]] = sev_counts.get(r["severity"], 0) + r["n"]
+        rule_counts[r["rule"]] = rule_counts.get(r["rule"], 0) + r["n"]
+    sev_pairs = [(s, sev_counts[s]) for s in ("high", "medium", "low") if s in sev_counts]
+    rule_pairs = sorted(rule_counts.items(), key=lambda kv: -kv[1])
     body = [
         f"<h1>Data Quality Report — run {_html_escape(run_id)}</h1>",
         f"<p>Dataset rows: <strong>{n_rows}</strong></p>",
+        "<h2>Visualizations</h2>",
+        svg_bar_chart(sev_pairs, "Findings by severity", colors=_SEV_COLORS),
+        svg_bar_chart(rule_pairs, "Findings by rule"),
         "<h2>Findings by severity × rule</h2>",
         _html_table(
             ["severity", "rule", "count"],

