@@ -129,23 +129,28 @@ def enrich(
         hashed = hashed_frame(clips)
     text = enrich_text(clips, cfg)
     stats = audio_stats_table(clips, cfg, hashed)
-    with_sha = text.join(hashed.select("clip_id", "sha"), "clip_id")
+    # both sides descend from `clips`, so raw df["col"] refs would carry
+    # the SAME attribute id (Spark resolves them via dataset-id metadata
+    # but warns "trivially true equals predicate") — explicit aliases
+    # make the two sides unambiguous
+    ws = text.join(hashed.select("clip_id", "sha"), "clip_id").alias("ws")
+    st = stats.alias("st")
     cond = (
-        (with_sha["sha"] == stats["sha"])
-        & with_sha["codec"].eqNullSafe(stats["codec"])
-        & with_sha["sr_hz"].eqNullSafe(stats["sr_hz"])
+        (F.col("ws.sha") == F.col("st.sha"))
+        & F.col("ws.codec").eqNullSafe(F.col("st.codec"))
+        & F.col("ws.sr_hz").eqNullSafe(F.col("st.sr_hz"))
     )
-    return with_sha.join(stats, cond, "left").select(
-        with_sha["clip_id"],
-        with_sha["sr_hz"],
-        with_sha["dur_ms"],
-        with_sha["codec"],
-        with_sha["transcript"],
-        with_sha["sha"],
-        stats["audio"],
-        with_sha["langid"],
-        with_sha["ppl"],
-        with_sha["scrub"],
+    return ws.join(st, cond, "left").select(
+        F.col("ws.clip_id"),
+        F.col("ws.sr_hz"),
+        F.col("ws.dur_ms"),
+        F.col("ws.codec"),
+        F.col("ws.transcript"),
+        F.col("ws.sha"),
+        F.col("st.audio"),
+        F.col("ws.langid"),
+        F.col("ws.ppl"),
+        F.col("ws.scrub"),
     )
 
 
