@@ -24,6 +24,10 @@ from .vocab import DOMAINS, EN_VOCAB, FIRST_NAMES, IT_VOCAB
 
 CLIPS_PER_SF = 20_000
 SEED = 42
+# Bump whenever generated CONTENT changes (defect mix, vocab, encoding):
+# cache paths embed it, so stale /tmp fixtures from an older generator can
+# never poison a correctness run. v1 == the round-1 corpus (unchanged).
+FIXTURE_VERSION = 1
 
 # defect class → probability (clean = remainder). One entry per reference
 # fixture defect (FIXTURES.md table).

@@ -1344,6 +1344,14 @@ def q_summary_stats_lineitem(spark, sf_dir):
     return summary_stats(_t(spark, sf_dir, "lineitem"), _SUMMARY_COLS)
 
 
+from .corpus.generator import FIXTURE_VERSION as _GEN_V
+
+# cache filenames embed the generator content version (v1 = unversioned
+# round-1 names, kept stable for driver continuity); a generator change
+# bumps FIXTURE_VERSION and orphans any stale /tmp fixture automatically
+_TAG = "" if _GEN_V == 1 else f"_v{_GEN_V}"
+
+
 def _sf_of(sf_dir: str) -> tuple[str, float]:
     base = os.path.basename(os.path.normpath(sf_dir))
     return base, (float(base[2:]) if base.startswith("sf") else 0.01)
@@ -1354,7 +1362,7 @@ def _clips_path(sf_dir: str) -> str:
     clips table; BASELINE.json directs us to synthesize the input_hint
     shape at small scale)."""
     base, sf = _sf_of(sf_dir)
-    path = f"/tmp/dqc_clips_{base}.parquet"
+    path = f"/tmp/dqc_clips_{base}{_TAG}.parquet"
     if not os.path.exists(path):
         from .corpus.generator import write_clips_parquet
 
@@ -1377,8 +1385,8 @@ def ensure_expected_fixtures(sf_dir: str) -> tuple[str, str]:
     Writes are tmp+rename so a crash never leaves a poisoned fixture.
     """
     base, sf = _sf_of(sf_dir)
-    labels_path = f"/tmp/dqc_expected_labels_{base}.parquet"
-    findings_path = f"/tmp/dqc_expected_findings_{base}.parquet"
+    labels_path = f"/tmp/dqc_expected_labels_{base}{_TAG}.parquet"
+    findings_path = f"/tmp/dqc_expected_findings_{base}{_TAG}.parquet"
     if os.path.exists(labels_path) and os.path.exists(findings_path):
         return labels_path, findings_path
 
@@ -1424,9 +1432,9 @@ def q_clips_decisions(spark, sf_dir):
 
 @register(
     "clips_findings_summary",
-    """
+    f"""
     SELECT severity, rule, CAST(count(*) AS BIGINT) AS n
-    FROM read_parquet('/tmp/dqc_expected_findings_sf0.01.parquet')
+    FROM read_parquet('/tmp/dqc_expected_findings_sf0.01{_TAG}.parquet')
     GROUP BY severity, rule
     """,
 )
@@ -1444,9 +1452,9 @@ def q_clips_findings_summary(spark, sf_dir):
 
 @register(
     "clips_decisions_labels",
-    """
+    f"""
     SELECT clip_id, keep, rules_fired, scrubbed_transcript
-    FROM read_parquet('/tmp/dqc_expected_labels_sf0.01.parquet')
+    FROM read_parquet('/tmp/dqc_expected_labels_sf0.01{_TAG}.parquet')
     """,
 )
 def q_clips_decisions_labels(spark, sf_dir):
