@@ -131,3 +131,157 @@ def stream_dedup_flags(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Pure Structured-Streaming decisions pipeline (no foreachBatch)
+# ---------------------------------------------------------------------------
+
+def _flat_predicate_stream(clips: DataFrame, cfg, dur_bounds):
+    """Streaming-safe enrich + rule flattening: every NON-duplicate rule
+    predicate becomes a boolean column over one UDF-enriched projection.
+
+    Differences vs the batch DAG (both deliberate, both documented):
+    * audio stats are computed per ROW — the batch pipeline's
+      decode-once-per-distinct-payload optimization needs a per-batch
+      aggregate, which the pure-streaming form trades away (the
+      foreachBatch path in incremental.py keeps it);
+    * the IQR duration fence (dur_bounds) is calibration state passed in,
+      exactly as in incremental.py.
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..functions.udfs import get_udfs
+    from ..operators.rules import build_rules
+    from pyspark.sql import functions as F
+
+    cfg = cfg or DEFAULT_CONFIG
+    udfs = get_udfs()
+    enriched = clips.select(
+        "clip_id",
+        "sr_hz",
+        "dur_ms",
+        "codec",
+        "transcript",
+        sha1_expr("bytes").alias("sha"),
+        udfs["audio_stats"](F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("audio"),
+        udfs["langid"](F.col("transcript")).alias("langid"),
+        udfs["perplexity"](F.col("transcript")).alias("ppl"),
+        udfs["scrub"](F.col("transcript")).alias("scrub"),
+    )
+    rules = build_rules(cfg, dur_bounds)
+    fired_cols = [
+        F.coalesce(r.predicate, F.lit(False)).alias(f"fired_{r.name}")
+        for r in rules
+        if r.name != "duplicate"
+    ]
+    return enriched.select(
+        "clip_id",
+        "sha",
+        F.when(F.col("transcript").isNotNull(), F.col("scrub")["scrubbed"]).alias(
+            "scrubbed_transcript"
+        ),
+        F.col("langid")["lang"].alias("lang"),
+        F.col("langid")["conf"].alias("lang_conf"),
+        F.col("ppl").alias("perplexity"),
+        F.col("audio")["clip_ratio"].alias("clip_ratio"),
+        *fired_cols,
+    ), rules
+
+
+def _decisions_from_flags(flagged: DataFrame, rules) -> DataFrame:
+    """Post-state assembly: keep / rules_fired (name-sorted, identical to
+    operators.rules.rules_fired_expr) from the flattened booleans + the
+    managed-state duplicate flag."""
+    from pyspark.sql import functions as F
+
+    def fired(r):
+        return F.col("is_duplicate") if r.name == "duplicate" else F.col(f"fired_{r.name}")
+
+    arr = F.filter(
+        F.array(*[F.when(fired(r), F.lit(r.name)).otherwise(F.lit(None)) for r in rules]),
+        lambda x: x.isNotNull(),
+    )
+    dropped = F.lit(False)
+    for r in rules:
+        if r.drops:
+            dropped = dropped | F.coalesce(fired(r), F.lit(False))
+    return flagged.select(
+        "clip_id",
+        (~dropped).alias("keep"),
+        arr.alias("rules_fired"),
+        "scrubbed_transcript",
+        "lang",
+        "lang_conf",
+        "perplexity",
+        "clip_ratio",
+    )
+
+
+def stream_decisions_stateful(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg=None,
+    dur_bounds: tuple[float, float] | None = None,
+    available_now: bool = True,
+):
+    """End-to-end decisions as ONE Structured-Streaming query — no
+    foreachBatch, no side tables: file source → Arrow UDF enrich →
+    flattened rule predicates → ``applyInPandasWithState`` duplicate
+    flag (engine-managed per-sha keeper) → keep/rules_fired assembly →
+    parquet sink. The engine owns replay/exactly-once for both the state
+    and the sink commit log. Keep/drop and rules_fired match the batch
+    pipeline exactly (test_streaming.py)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    flat, rules = _flat_predicate_stream(stream, cfg, dur_bounds)
+
+    out_schema = StructType(
+        list(flat.schema.fields) + [StructField("is_duplicate", BooleanType(), False)]
+    )
+    flat_cols = [f.name for f in flat.schema.fields]
+
+    def passthrough_state(key, pdfs, state: GroupState):
+        (sha,) = key
+        import pandas as pd
+
+        parts = [pdf for pdf in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if state.exists:
+            (keeper,) = state.get
+        else:
+            keeper = pdf["clip_id"].min()
+            state.update((keeper,))
+        pdf = pdf[flat_cols]
+        pdf["is_duplicate"] = pdf["clip_id"] != keeper
+        yield pdf
+
+    with_sha = flat.where("sha IS NOT NULL")
+    flagged = with_sha.groupBy("sha").applyInPandasWithState(
+        passthrough_state,
+        outputStructType=out_schema,
+        stateStructType=KEEPER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    no_sha = flat.where("sha IS NULL").withColumn("is_duplicate", F.lit(False))
+    decisions = _decisions_from_flags(flagged.unionByName(no_sha), rules)
+
+    writer = (
+        decisions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -171,3 +171,25 @@ def test_stateful_dedup_matches_registry_semantics(spark, clips_df, halves, tmp_
             k = keepers[r["sha"]]
             expected[r["clip_id"]] = (r["clip_id"] != k, k)
     assert got == expected
+
+
+def test_pure_streaming_decisions_match_batch(spark, clips_df, halves, tmp_path_factory):
+    """The no-foreachBatch pipeline (UDF enrich -> flattened predicates ->
+    applyInPandasWithState duplicate flag -> assembly) must reproduce the
+    batch pipeline's keep + rules_fired + scrubbed transcript exactly."""
+    from data_quality_checker_spark.streaming.stateful import stream_decisions_stateful
+
+    out = str(tmp_path_factory.mktemp("pure_out"))
+    ckpt = str(tmp_path_factory.mktemp("pure_ckpt"))
+    q = stream_decisions_stateful(spark, halves, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {
+        r["clip_id"]: (r["keep"], tuple(r["rules_fired"]), r["scrubbed_transcript"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        r["clip_id"]: (r["keep"], tuple(r["rules_fired"]), r["scrubbed_transcript"])
+        for r in _batch_decisions_no_outlier(spark, clips_df).collect()
+    }
+    assert got == expected
