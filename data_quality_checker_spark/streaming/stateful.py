@@ -285,3 +285,39 @@ def stream_decisions_stateful(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Watermarked event-time windows (late-data handling)
+# ---------------------------------------------------------------------------
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = "event_type",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed counts with a watermark — the standard
+    late-data pattern (readStream → withWatermark → window agg): rows
+    later than ``watermark`` behind the max seen event time are dropped
+    and their window's state is eventually evicted, which is what bounds
+    state size on an unbounded stream. → (window_start, window_end,
+    [key], n). Works identically on a batch frame (Spark evaluates
+    window() the same way), so tests compare stream vs batch output."""
+    from pyspark.sql import functions as F
+
+    win = F.window(F.col(ts_col), window, slide or window)
+    grouped = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    keys = [win] + ([F.col(key_col)] if key_col else [])
+    return (
+        grouped.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *([key_col] if key_col else []),
+            "n",
+        )
+    )

@@ -193,3 +193,53 @@ def test_pure_streaming_decisions_match_batch(spark, clips_df, halves, tmp_path_
         for r in _batch_decisions_no_outlier(spark, clips_df).collect()
     }
     assert got == expected
+
+
+def test_watermarked_window_counts_match_batch(spark, tmp_path_factory):
+    """Watermark + event-time window over a file stream: with all data
+    within the watermark, the streamed windowed counts equal the batch
+    windowed counts (append mode emits each window once it is final)."""
+    import datetime as dt
+
+    from data_quality_checker_spark.streaming.stateful import windowed_event_counts
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=m), "click" if m % 2 == 0 else "view")
+        for m in range(0, 45)
+    ]
+    d = tmp_path_factory.mktemp("ev_in")
+    bdf = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    bdf.coalesce(2).write.parquet(str(d / "events"))
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(
+        str(d / "events")
+    )
+    out = str(tmp_path_factory.mktemp("ev_out"))
+    ckpt = str(tmp_path_factory.mktemp("ev_ckpt"))
+    q = (
+        windowed_event_counts(stream, window="10 minutes", watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(bdf, window="10 minutes").collect()
+    }
+    # append mode withholds windows not yet closed by the watermark: every
+    # emitted window must match batch, and most windows must have emitted
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    closed = {k for k in expected if k[0] < rows[-1][0] - dt.timedelta(minutes=15)}
+    assert closed <= set(got)
