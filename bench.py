@@ -154,6 +154,12 @@ def main():
             extras["delta_vs_prev"] = {
                 k: round(timings[k] - pq[k], 3) for k in timings if k in pq
             }
+            # like-for-like totals: this round's suite may have MORE
+            # queries than the previous recording; compare totals over
+            # the shared set so added coverage never reads as regression
+            shared = [k for k in timings if k in pq]
+            extras["value_shared_set"] = round(sum(timings[k] for k in shared), 3)
+            extras["prev_value_shared_set"] = round(sum(pq[k] for k in shared), 3)
         except Exception:
             pass
 
