@@ -149,6 +149,8 @@ def main():
         try:
             with open(prev_files[-1]) as f:
                 prev = json.load(f)
+            # the driver wraps the bench line under "parsed"
+            prev = prev.get("parsed", prev) or {}
             pq = prev.get("queries", {})
             extras["prev_bench"] = os.path.basename(prev_files[-1])
             extras["delta_vs_prev"] = {
