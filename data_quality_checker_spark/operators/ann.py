@@ -411,6 +411,10 @@ def ivf_topk_from_index(
         F.explode(probe_udf(F.col(vec_col))).alias("cid"),
     )
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    if not probe_cids:  # empty query batch: empty result, correct schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     assigned = (
         spark.read.parquet(f"{path}/assigned").where(F.col("cid").isin(probe_cids))
     )

@@ -1407,7 +1407,10 @@ def ensure_expected_fixtures(sf_dir: str) -> tuple[str, str]:
         columns=["clip_id", "rule", "severity"],
     )
     for pdf, path in ((out, labels_path), (findings, findings_path)):
-        tmp = path + ".tmp"
+        # pid-suffixed tmp: two concurrent generators (driver smoke-check
+        # racing the bench) must not share a tmp name; both renames
+        # publish identical bytes (deterministic labels)
+        tmp = f"{path}.tmp.{os.getpid()}"
         pdf.to_parquet(tmp, index=False)
         os.replace(tmp, path)
     return labels_path, findings_path

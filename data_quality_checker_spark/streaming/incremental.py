@@ -115,7 +115,13 @@ def process_increment(
         .distinct()
         .collect()
     )
-    registered = read_registry(spark, state_dir, buckets=batch_buckets)
+    # a batch of only null-payload clips touches no registry bucket (an
+    # empty isin() would also be malformed)
+    registered = (
+        read_registry(spark, state_dir, buckets=batch_buckets)
+        if batch_buckets
+        else None
+    )
 
     local_keepers = keepers_by_sha(hashed, cfg)
     if registered is not None:
