@@ -1284,6 +1284,106 @@ def q_regional_revenue(spark, sf_dir):
     )
 
 
+_ADV_NUM = ["event_id", "user_id", "value"]
+_ADV_CAT = ["event_type", "props"]
+_ADV_DT = ["ts"]
+
+
+def _advisor_sql() -> str:
+    cols = _ADV_NUM + _ADV_CAT + _ADV_DT
+    stats = ["count(*) AS n"]
+    stats += [
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c}"
+        for c in cols
+    ]
+    for c in _ADV_NUM:
+        stats += [
+            f"min(CAST({c} AS DOUBLE)) AS min_{c}",
+            f"max(CAST({c} AS DOUBLE)) AS max_{c}",
+            f"stddev_samp(CAST({c} AS DOUBLE)) AS std_{c}",
+            f"avg(CAST({c} AS DOUBLE)) AS mean_{c}",
+        ]
+    for i, a in enumerate(_ADV_NUM):
+        for b in _ADV_NUM[i + 1 :]:
+            stats.append(
+                f"corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)) AS corr_{a}_{b}"
+            )
+    for c in _ADV_CAT:
+        stats.append(f"count(DISTINCT {c}) AS card_{c}")
+    branches = []
+    for c in cols:
+        pct = f"100.0 * null_{c} / n"
+        branches.append(
+            f"SELECT 'missing_high' AS category, '{c}' AS \"column\","
+            f" round({pct}, 4) AS metric, 'drop' AS strategy FROM s"
+            f" WHERE n > 0 AND {pct} > 50.0"
+        )
+        strat = "impute_mean_median" if c in _ADV_NUM else "impute_mode_unknown"
+        branches.append(
+            f"SELECT 'missing_impute', '{c}', round({pct}, 4), '{strat}' FROM s"
+            f" WHERE n > 0 AND {pct} > 10.0 AND {pct} <= 50.0"
+        )
+    # class imbalance: categorical cols with cardinality < 20 only
+    for c in _ADV_CAT:
+        branches.append(
+            f"""SELECT 'class_imbalance', '{c}', round(t.share, 4),
+               CASE WHEN t.share > 80.0 THEN 'severe_resample'
+                    ELSE 'moderate_class_weights' END
+            FROM s, (SELECT 100.0 * count(*) / (SELECT n FROM s) AS share
+                     FROM events WHERE {c} IS NOT NULL
+                     GROUP BY {c} ORDER BY count(*) DESC, {c} ASC LIMIT 1) t
+            WHERE s.card_{c} < 20 AND t.share > 70.0"""
+        )
+    for c in _ADV_DT:
+        branches.append(
+            f"SELECT 'date_features', '{c}', CAST(NULL AS DOUBLE),"
+            f" 'extract_year_month_dow' FROM s"
+        )
+    for i, a in enumerate(_ADV_NUM):
+        for b in _ADV_NUM[i + 1 :]:
+            branches.append(
+                f"SELECT 'high_correlation', '{a}&{b}', round(abs(corr_{a}_{b}), 4),"
+                f" 'drop_one' FROM s WHERE abs(corr_{a}_{b}) > 0.8"
+            )
+    for c in _ADV_CAT:
+        branches.append(
+            f"""SELECT 'encoding', '{c}', CAST(card_{c} AS DOUBLE),
+               CASE WHEN card_{c} = 2 THEN 'label'
+                    WHEN card_{c} BETWEEN 3 AND 10 THEN 'one_hot'
+                    WHEN card_{c} BETWEEN 11 AND 50 THEN 'target_or_embedding'
+                    ELSE 'hash_or_frequency' END
+            FROM s WHERE card_{c} >= 2"""
+        )
+    for c in _ADV_NUM:
+        cv = f"(CASE WHEN mean_{c} <> 0 THEN abs(std_{c} / mean_{c}) ELSE 1e308 END)"
+        branches.append(
+            f"SELECT 'wide_range', '{c}', round(max_{c} - min_{c}, 4),"
+            f" 'standard_or_minmax_scale' FROM s WHERE std_{c} > 0"
+            f" AND (max_{c} - min_{c} > 1000.0 OR {cv} > 1.0)"
+        )
+        branches.append(
+            f"SELECT 'low_variance', '{c}', round(std_{c}, 4), 'remove' FROM s"
+            f" WHERE std_{c} IS NOT NULL AND std_{c} < 0.01"
+        )
+    return (
+        "WITH s AS (SELECT " + ",\n       ".join(stats) + " FROM events)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+@register("ml_recommendations", _advisor_sql())
+def q_ml_recommendations(spark, sf_dir):
+    """The reference's ML-advisor recommendation engine
+    (ml_advisor.py:93-317) over the events table — every trigger tier as
+    a structured (category, column, metric, strategy) row, exactly
+    thresholded — operators/advisor.ml_recommendations."""
+    from .operators.advisor import ml_recommendations
+
+    return ml_recommendations(
+        spark, _t(spark, sf_dir, "events"), _ADV_NUM, _ADV_CAT, _ADV_DT
+    )
+
+
 @register(
     "cell_missing_pct",
     """
