@@ -32,6 +32,7 @@ _EXECUTES_ON_BUILD = {
     "clips_findings_summary",
     "ann_ivf_topk",           # driver-side k-means sample/fit
     "minhash_verified_pairs",  # eager candidate persist
+    "ml_recommendations",      # driver-side aggregate collect + assembly
 }
 
 # intended nested-loop designs (see module docstring), plus queries whose
