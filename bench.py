@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "join_fk_count",
     "join_left_agg",
     "regional_revenue",
+    "ml_recommendations",
     "compare_days",
     "set_ops_users",
     "doc_quality",
