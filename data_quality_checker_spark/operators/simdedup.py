@@ -78,6 +78,12 @@ def minhash_signatures(
 
     Plan: shingle explode → ONE groupBy(doc_id) computing all n_hashes
     mins in a single partial-aggregatable pass (no per-hash shuffle).
+
+    Measured alternative, rejected (same verdict as simhash): a
+    zero-shuffle shingle-set-array formulation (one md5 transform, then
+    n_hashes array_min folds) runs ~2× slower at sf0.1 — Spark's
+    higher-order folds are interpreted per element × n_hashes, while the
+    explode's per-doc shuffle is tiny after map-side combine.
     """
     sh = shingles(docs, k)
     h = minhash_base_hash(F.col("shingle"))
