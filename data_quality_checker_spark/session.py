@@ -67,6 +67,12 @@ def get_spark(
         # and collapses throughput into GC. 512 rows keeps payload scans
         # bounded; narrow text scans are unaffected.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # dynamic partition overwrite session-wide: streaming micro-batch
+        # session clones snapshot conf at stream start, so this must be a
+        # session default — a foreachBatch write under STATIC mode would
+        # truncate every other batch's partitions (see streaming/
+        # incremental.process_and_write)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -167,8 +167,17 @@ def process_and_write(
     """One foreachBatch tick: score + idempotently persist. The decisions
     land partitioned by batch_id with dynamic partition overwrite, so an
     at-least-once replay of a micro-batch replaces its own partition
-    instead of appending duplicates."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    instead of appending duplicates.
+
+    CRITICAL: the overwrite mode must be set on the session that executes
+    the WRITE. Inside foreachBatch that is the micro-batch's cloned
+    session (``batch_df.sparkSession``), which snapshots conf at stream
+    start — setting it only on the outer session leaves the clone in
+    STATIC overwrite mode and every batch then truncates all previous
+    batches' output (found via a 24-file multi-batch run; single-batch
+    tests could not see it)."""
+    for sess in {spark, batch_df.sparkSession}:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     decisions = process_increment(spark, batch_df, state_dir, batch_id, cfg, dur_bounds)
     decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "overwrite"

@@ -243,3 +243,22 @@ def test_watermarked_window_counts_match_batch(spark, tmp_path_factory):
         assert expected[k] == v
     closed = {k for k in expected if k[0] < rows[-1][0] - dt.timedelta(minutes=15)}
     assert closed <= set(got)
+
+
+def test_multi_batch_streaming_keeps_all_batches(spark, clips_df, tmp_path_factory):
+    """Regression: with >maxFilesPerTrigger input files the stream runs
+    MULTIPLE micro-batches; every batch's decisions partition must
+    survive (a static-overwrite write would truncate all but the last —
+    the conf must reach the micro-batch's cloned session)."""
+    src = str(tmp_path_factory.mktemp("many_in") / "clips")
+    clips_df.repartition(24).write.parquet(src)
+    out = str(tmp_path_factory.mktemp("many_out"))
+    ckpt = str(tmp_path_factory.mktemp("many_ckpt"))
+    state = str(tmp_path_factory.mktemp("many_state"))
+    q = stream_quality_filter(spark, src, out, ckpt, state)
+    q.awaitTermination(300)
+    dec = spark.read.parquet(out)
+    batches = [r["batch_id"] for r in dec.select("batch_id").distinct().collect()]
+    assert len(batches) >= 3, batches
+    assert dec.count() == clips_df.count()
+    assert dec.select("clip_id").distinct().count() == clips_df.count()
