@@ -262,3 +262,33 @@ def test_multi_batch_streaming_keeps_all_batches(spark, clips_df, tmp_path_facto
     assert len(batches) >= 3, batches
     assert dec.count() == clips_df.count()
     assert dec.select("clip_id").distinct().count() == clips_df.count()
+
+
+def test_pure_streaming_multi_batch_dedup_consistency(spark, clips_df, tmp_path_factory):
+    """Across MULTIPLE micro-batches with arbitrary file order, the
+    managed-state dedup must flag exactly (group_size - 1) duplicates per
+    sha group — one keeper each, regardless of which batch saw the group
+    first (the keeper identity is batch-order-dependent; the count is
+    not)."""
+    from data_quality_checker_spark.operators.dedup import sha1_expr
+    from data_quality_checker_spark.streaming.stateful import stream_decisions_stateful
+
+    src = str(tmp_path_factory.mktemp("pure_many_in") / "clips")
+    clips_df.repartition(24).write.parquet(src)
+    out = str(tmp_path_factory.mktemp("pure_many_out"))
+    ckpt = str(tmp_path_factory.mktemp("pure_many_ckpt"))
+    q = stream_decisions_stateful(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    dec = spark.read.parquet(out)
+    assert dec.count() == clips_df.count()
+    n_dup_flagged = dec.where(F.array_contains("rules_fired", "duplicate")).count()
+    groups = (
+        clips_df.select(sha1_expr("bytes").alias("sha"))
+        .where(F.col("sha").isNotNull())
+        .groupBy("sha")
+        .count()
+    )
+    expected_dups = sum(r["count"] - 1 for r in groups.collect())
+    assert n_dup_flagged == expected_dups
+    assert expected_dups > 0
