@@ -262,6 +262,19 @@ def test_multi_batch_streaming_keeps_all_batches(spark, clips_df, tmp_path_facto
     assert len(batches) >= 3, batches
     assert dec.count() == clips_df.count()
     assert dec.select("clip_id").distinct().count() == clips_df.count()
+    # cross-batch dedup invariant: exactly group_size-1 duplicates per sha
+    # group, whatever the batch arrival order
+    from data_quality_checker_spark.operators.dedup import sha1_expr
+
+    groups = (
+        clips_df.select(sha1_expr("bytes").alias("sha"))
+        .where(F.col("sha").isNotNull())
+        .groupBy("sha")
+        .count()
+    )
+    expected_dups = sum(r["count"] - 1 for r in groups.collect())
+    n_dup_flagged = dec.where(F.array_contains("rules_fired", "duplicate")).count()
+    assert n_dup_flagged == expected_dups > 0
 
 
 def test_pure_streaming_multi_batch_dedup_consistency(spark, clips_df, tmp_path_factory):
