@@ -26,6 +26,7 @@ target language / like natural text".
 from __future__ import annotations
 
 import math
+import os
 import re
 from functools import lru_cache
 
@@ -89,9 +90,74 @@ def _codes(text: str) -> np.ndarray:
     return np.frombuffer(normalize(text).encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
 
 
+# Trained-model disk cache: training costs ~0.9 s of numpy work, and with
+# spark.python.worker.reuse every COLD run pays it once per Python worker
+# (32× on local[32] — the dominant cold-start cost of the clips pipeline,
+# BENCH_r02 clips_decisions 16.0 s cold vs 3.5 s warm). The arrays are
+# pure deterministic constants, so the first builder persists them
+# (tmp+rename, pid-suffixed: concurrent builders race safely and publish
+# identical bytes) and every later process mmap-loads ~12 MB from page
+# cache in ~10 ms. Cache key pins every training input. On a multi-host
+# cluster /tmp is per-host: each host's first worker trains and seeds
+# that host's cache (or ship the .npz via --files); results are
+# bit-identical either way because training is seeded.
+_CACHE_VERSION = 1
+
+
+def _model_cache_path() -> str:
+    return (
+        f"/tmp/dqc_textmodel_v{_CACHE_VERSION}"
+        f"_b{N_BUCKETS}_s{_TRAIN_SEED}_n{_TRAIN_SENTENCES}"
+        f"_v{len(EN_VOCAB)}x{len(IT_VOCAB)}.npz"
+    )
+
+
+def _load_model_cache():
+    path = _model_cache_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return {
+                "langid_logp": z["langid_logp"],
+                "lm": (
+                    z["lm_c3"], z["lm_c2ctx"], z["lm_c2"],
+                    z["lm_c1ctx"], z["lm_c1"], float(z["lm_total"]),
+                ),
+            }
+    except Exception:
+        return None  # corrupt/partial cache: fall through to retrain
+
+
+def _save_model_cache(models) -> None:
+    path = _model_cache_path()
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        c3, c2ctx, c2, c1ctx, c1, total = models["lm"]
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                langid_logp=models["langid_logp"],
+                lm_c3=c3, lm_c2ctx=c2ctx, lm_c2=c2,
+                lm_c1ctx=c1ctx, lm_c1=c1,
+                lm_total=np.float64(total),
+            )
+        os.replace(tmp, path)
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 @lru_cache(maxsize=1)
 def get_models():
-    """Build (langid log-prob matrix, LM count arrays) once per process."""
+    """Build (langid log-prob matrix, LM count arrays) once per process —
+    loaded from the deterministic disk cache when a sibling process
+    already trained them."""
+    cached = _load_model_cache()
+    if cached is not None:
+        return cached
     tri_counts = np.zeros((N_BUCKETS, len(LANGS)), dtype=np.float64)
     lm_c3 = np.zeros(N_BUCKETS, dtype=np.float64)
     lm_c2ctx = np.zeros(N_BUCKETS, dtype=np.float64)
@@ -118,10 +184,12 @@ def get_models():
 
     totals = tri_counts.sum(axis=0)
     logp = np.log(tri_counts + _ALPHA) - np.log(totals + _ALPHA * N_BUCKETS)
-    return {
+    models = {
         "langid_logp": logp.astype(np.float32),
         "lm": (lm_c3, lm_c2ctx, lm_c2, lm_c1ctx, lm_c1, lm_total),
     }
+    _save_model_cache(models)
+    return models
 
 
 # --------------------------------------------------------------------------

@@ -167,6 +167,11 @@ def _scrub(transcript: pd.Series) -> pd.DataFrame:
 
 @lru_cache(maxsize=1)
 def get_udfs() -> dict:
+    # Seed the trained-model disk cache from the driver BEFORE any
+    # executor runs: every (worker-reused) Python worker then loads the
+    # ~12 MB constant arrays from page cache instead of re-training ~0.9 s
+    # each on first batch (the measured cold-start tax of BENCH_r02).
+    textmodel.get_models()
     return {
         "langid": pandas_udf(LANGID_SCHEMA)(_langid),
         "perplexity": pandas_udf("double")(_perplexity),
