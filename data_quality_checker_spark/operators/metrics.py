@@ -180,3 +180,38 @@ def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         *[F.col(s).cast("double").alias(s) for s in stats[1:]],
     )
+
+
+def summary_stats_categorical(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A16, categorical half — the object-column block of the reference's
+    ``describe(include='all')`` report (src/core/reporting.py:35:
+    count/unique/top/freq): → (column, n, n_unique, top, freq), one row
+    per requested column.
+
+    ONE job for ALL columns: the columns are stacked into (column, value)
+    pairs in codegen, so the only shuffle is the map-side-combinable
+    groupBy(column, value) — per-value cardinality, not corpus
+    cardinality — followed by two tiny per-column aggregates. No
+    per-column scan loop (contrast: pandas describe walks columns
+    serially). ``top`` ties break deterministically to the MIN value
+    among max-count values (pandas' first-occurrence tie-break is
+    row-order-dependent and not reproducible across engines).
+    """
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    pairs = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (column, value)")
+    ).where(F.col("value").isNotNull())
+    per_val = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    per_val = per_val.persist()  # consumed twice (stats + top); tiny (Σ cardinalities)
+    stats = per_val.groupBy("column").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.max("cnt").cast("bigint").alias("freq"),
+    )
+    top = (
+        per_val.join(stats.select("column", "freq"), "column")
+        .where(F.col("cnt") == F.col("freq"))
+        .groupBy("column")
+        .agg(F.min("value").alias("top"))
+    )
+    return stats.join(top, "column").select("column", "n", "n_unique", "top", "freq")
