@@ -70,18 +70,33 @@ def ml_recommendations(
     s = df.agg(*aggs).first()
     n = s["_n"] or 0
 
+    # top-class share: ONE stacked job for every imbalance-eligible
+    # categorical column (card in (1, 20) — single-class columns are not
+    # "imbalanced", ml_advisor.py _check_data_balance only reports when
+    # len(value_counts) > 1), instead of one serial groupBy().first()
+    # scan per column. The stack is codegen, the groupBy is map-side
+    # combinable per (column, value), and only ≤ C aggregate rows reach
+    # the driver.
     top_share: dict[str, float] = {}
-    for c in categorical_cols:
-        if s[f"card_{c}"] and s[f"card_{c}"] < 20 and n:
-            top = (
-                df.where(F.col(c).isNotNull())
-                .groupBy(c)
-                .count()
-                .orderBy(F.desc("count"), F.asc(c))
-                .first()
+    cat_small = [
+        c for c in categorical_cols
+        if s[f"card_{c}"] and 1 < s[f"card_{c}"] < 20
+    ]
+    if cat_small and n:
+        stack_args = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cat_small)
+        tops = (
+            df.select(
+                F.expr(f"stack({len(cat_small)}, {stack_args}) AS (_col, _val)")
             )
-            if top is not None:
-                top_share[c] = 100.0 * top["count"] / n
+            .where(F.col("_val").isNotNull())
+            .groupBy("_col", "_val")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy("_col")
+            .agg(F.max("_cnt").alias("_top"))
+            .collect()
+        )
+        for r in tops:
+            top_share[r["_col"]] = 100.0 * r["_top"] / n
 
     rows: list[tuple] = []
     # missing tiers (dtype-aware impute strategy, ml_advisor.py:106-125)

@@ -1323,7 +1323,9 @@ def _advisor_sql() -> str:
             f"SELECT 'missing_impute', '{c}', round({pct}, 4), '{strat}' FROM s"
             f" WHERE n > 0 AND {pct} > 10.0 AND {pct} <= 50.0"
         )
-    # class imbalance: categorical cols with cardinality < 20 only
+    # class imbalance: categorical cols with 1 < cardinality < 20 only
+    # (single-class columns are never "imbalanced" — ml_advisor.py
+    # _check_data_balance reports only when len(value_counts) > 1)
     for c in _ADV_CAT:
         branches.append(
             f"""SELECT 'class_imbalance', '{c}', round(t.share, 4),
@@ -1332,7 +1334,7 @@ def _advisor_sql() -> str:
             FROM s, (SELECT 100.0 * count(*) / (SELECT n FROM s) AS share
                      FROM events WHERE {c} IS NOT NULL
                      GROUP BY {c} ORDER BY count(*) DESC, {c} ASC LIMIT 1) t
-            WHERE s.card_{c} < 20 AND t.share > 70.0"""
+            WHERE s.card_{c} > 1 AND s.card_{c} < 20 AND t.share > 70.0"""
         )
     for c in _ADV_DT:
         branches.append(

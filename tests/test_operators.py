@@ -93,3 +93,52 @@ def test_enriched_plan_prunes_bytes(spark, clips_df):
     )
     plan = slim._jdf.queryExecution().executedPlan().toString()
     assert "bytes" not in plan
+
+
+# --------------------------------------------------------------------------
+# ML advisor (operators/advisor.py)
+# --------------------------------------------------------------------------
+
+def test_advisor_skips_single_class_columns(spark):
+    """A cardinality-1 categorical column has share=100% but is NOT
+    imbalanced (ml_advisor.py _check_data_balance requires
+    len(value_counts) > 1) — no class_imbalance row may fire for it."""
+    from data_quality_checker_spark.operators.advisor import ml_recommendations
+
+    df = spark.createDataFrame(
+        [("only", "a"), ("only", "a"), ("only", "b"), ("only", "b"),
+         ("only", "b"), ("only", "b"), ("only", "b"), ("only", "b"),
+         ("only", "b"), ("only", "b")],
+        "mono string, skewed string",
+    )
+    rows = ml_recommendations(spark, df, [], ["mono", "skewed"], []).collect()
+    imb = {r["column"]: r["strategy"] for r in rows if r["category"] == "class_imbalance"}
+    assert "mono" not in imb           # single-class: suppressed
+    assert imb.get("skewed") == "moderate_class_weights"  # 80% share
+
+
+def test_advisor_topshare_is_one_job(spark):
+    """Top-class share must be ONE stacked job for all categorical
+    columns, not a serial groupBy().first() scan per column: total jobs
+    to build the advisor frame stay constant as columns grow."""
+    from data_quality_checker_spark.operators.advisor import ml_recommendations
+
+    sc = spark.sparkContext
+
+    def jobs_for(n_cols: int, group: str) -> int:
+        cats = [f"c{i}" for i in range(n_cols)]
+        data = [
+            tuple(f"v{j % (i + 2)}" for i in range(n_cols)) for j in range(40)
+        ]
+        df = spark.createDataFrame(data, ", ".join(f"{c} string" for c in cats))
+        sc.setJobGroup(group, group)
+        try:
+            ml_recommendations(spark, df, [], cats, [])
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup(None, None)
+
+    # AQE stages make the absolute count plan-shaped, so assert the
+    # invariant that matters: the job count is CONSTANT in column count
+    # (a per-column scan loop grows it linearly)
+    assert jobs_for(2, "advisor-audit-2") == jobs_for(6, "advisor-audit-6")
