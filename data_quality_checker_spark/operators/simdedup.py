@@ -184,22 +184,32 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
-def shingle_set_col(text_col: str, k: int) -> Column:
-    """array<string> of DISTINCT k-char shingles, computed entirely in
+def shingle_set_col(text_col: str, k: int, hashed: bool = False) -> Column:
+    """array of DISTINCT k-char shingles, computed entirely in
     whole-stage codegen (no explode, no distinct shuffle): transform over
     a position sequence + array_distinct. Empty array for null/short
     text (identical eligibility to the explode-based ``shingles``).
     Guarded: Spark's sequence(1, stop) DESCENDS when stop < 1, which
-    would emit bogus sub-k fragments for short texts."""
+    would emit bogus sub-k fragments for short texts.
+
+    ``hashed=True`` maps each shingle through xxhash64 inside the same
+    codegen pass → array<bigint>: 8 B per element instead of a ~20+ B
+    string header+payload, so every downstream shuffle/array_intersect
+    moves ~3× fewer bytes. Set semantics are preserved w.h.p. — a
+    collision needs two distinct k-grams of one doc pair hashing equal,
+    P ≈ pairs·len²/2⁶⁴ ≈ 10⁻¹² per pair at 2k shingles/doc — and the
+    Jaccard VALUE is then bit-identical to the string computation, so
+    the exact string-based oracle still applies."""
+    inner = f"substr({text_col}, i, {k})"
+    if hashed:
+        inner = f"xxhash64({inner})"
+    arr = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k - 1}), i -> {inner})"
+    )
+    empty = F.array().cast("array<bigint>" if hashed else "array<string>")
     return F.when(
-        F.length(text_col) >= F.lit(k),
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, length({text_col}) - {k - 1}),"
-                f" i -> substr({text_col}, i, {k}))"
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        F.length(text_col) >= F.lit(k), F.array_distinct(arr)
+    ).otherwise(empty)
 
 
 def ngram_jaccard_for_pairs(
@@ -208,6 +218,7 @@ def ngram_jaccard_for_pairs(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact k-char-shingle Jaccard restricted to the given candidate
     pairs (doc_a, doc_b) — the LSH→verify stage: → (doc_a, doc_b,
@@ -219,6 +230,12 @@ def ngram_jaccard_for_pairs(
 
     * per-doc shingle SETS are built as arrays in codegen
       (``shingle_set_col``) — no shingle explode, no distinct shuffle;
+    * ``hashed=True`` (default): the sets are xxhash64 int64 arrays, so
+      the per-pair array fan-out through the two id-joins (each doc's
+      set ships once per candidate pair it appears in — the dominant
+      shuffle of this stage) moves 8 B/shingle instead of ~20+ B string
+      bytes, with Jaccard values identical w.h.p. (collision math in
+      ``shingle_set_col``);
     * only docs appearing in some candidate pair are materialized
       (left-semi join);
     * the intersection is ``size(array_intersect(sa, sb))`` computed
@@ -232,10 +249,24 @@ def ngram_jaccard_for_pairs(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    cdocs = docs.join(cand_ids, on=id_col, how="left_semi")
+    # Spread the set build across the cluster BEFORE the per-element
+    # transform: the candidate-doc frame inherits the corpus scan's
+    # partitioning (a single small file ⇒ ONE partition locally), and the
+    # higher-order-function lambda is evaluated interpreted, so an
+    # unspread build serializes the CPU-heavy stage on one core. The
+    # shuffle moved is only the candidate docs' text — already semi-join
+    # bounded, far smaller than the corpus.
+    cdocs = docs.join(cand_ids, on=id_col, how="left_semi").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     shset = cdocs.select(
-        F.col(id_col), shingle_set_col(text_col, k).alias("ss")
+        F.col(id_col), shingle_set_col(text_col, k, hashed=hashed).alias("ss")
     ).where(F.size("ss") > 0)
+    # Both join sides broadcast this frame; without a barrier each
+    # broadcast rebuilds the whole semi-join + set-build subtree (2× the
+    # dominant cost). The persisted form is (id, set) for candidate docs
+    # only — bounded by the candidate set, not the corpus.
+    shset = shset.persist()
     a = shset.select(F.col(id_col).alias("doc_a"), F.col("ss").alias("sa"))
     b = shset.select(F.col(id_col).alias("doc_b"), F.col("ss").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
@@ -252,6 +283,12 @@ def ngram_jaccard_for_pairs(
     )
 
 
+# Auto-route threshold for the collapsed (dedup-first) verify path: above
+# this exact-duplicate rate the dup-clique O(Σd²) candidate blow-up of the
+# direct path outweighs the collapsed path's two extra membership joins.
+DUP_RATE_COLLAPSE = 0.05
+
+
 def minhash_verified_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -259,6 +296,7 @@ def minhash_verified_pairs(
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
     materialize_candidates: bool = True,
+    dedup_first: bool | None = None,
 ) -> DataFrame:
     """The full near-dup tier: MinHash-LSH candidates → exact Jaccard
     verification → pairs with jaccard ≥ threshold. This is the operator
@@ -276,7 +314,28 @@ def minhash_verified_pairs(
     strategy) keeps accurate stats for the planner. The cache entry is
     deliberately left for LRU eviction: the operator returns a lazy frame
     whose consumers still need it. A production pipeline makes this same
-    boundary a table write between the LSH and verify jobs."""
+    boundary a table write between the LSH and verify jobs.
+
+    ``dedup_first=None`` (default) runs a one-aggregate dup-rate probe
+    and routes dup-heavy inputs (exact-dup rate > ``DUP_RATE_COLLAPSE``)
+    to the provably-equivalent collapsed path
+    (``minhash_verified_pairs_collapsed``) — on a crawl-style corpus the
+    dup cliques dominate the candidate volume and the collapsed ordering
+    wins; pass False/True to force a path (the collapsed path itself
+    forces False on the representatives to avoid re-probing)."""
+    if dedup_first is None:
+        probe = docs.agg(
+            F.count("text").alias("n"),
+            F.count_distinct(F.md5(F.col("text"))).alias("d"),
+        ).first()
+        n_docs = probe["n"] or 0
+        dedup_first = (
+            n_docs > 0 and (n_docs - probe["d"]) / n_docs > DUP_RATE_COLLAPSE
+        )
+    if dedup_first:
+        return minhash_verified_pairs_collapsed(
+            docs, k, n_hashes, n_bands, threshold
+        )
     cand = minhash_lsh_pairs(docs, k, n_hashes, n_bands)
     if materialize_candidates:
         cand = cand.persist()
@@ -335,7 +394,9 @@ def minhash_verified_pairs_collapsed(
         id_col,
         "left_semi",
     )
-    ver_rep = minhash_verified_pairs(reps, k, n_hashes, n_bands, threshold)
+    ver_rep = minhash_verified_pairs(
+        reps, k, n_hashes, n_bands, threshold, dedup_first=False
+    )
 
     ma = membership.select(F.col("rep").alias("doc_a"), F.col("member").alias("da"))
     mb = membership.select(F.col("rep").alias("doc_b"), F.col("member").alias("db"))
