@@ -22,9 +22,16 @@ stages (enrich/decide) + a persistent SHA registry:
 * a new row is a duplicate if its sha is already registered
   (first-seen-batch wins; within the first batch, min clip_id wins —
   deterministic given ordered arrival);
+* registry buckets stay scan-friendly: each micro-batch appends one
+  file set per touched bucket, so a hot bucket would accumulate O(B)
+  small files over B batches — after the append, any touched bucket
+  holding more than ``MAX_BUCKET_FILES`` parquet files is rewritten to
+  a single file (tmp dir + two renames, with a leftover-dir recovery
+  sweep at the next tick for the crash window between the renames);
 * ``foreachBatch`` is at-least-once, so BOTH persistent effects are
-  idempotent per batch_id: the registry append is gated on a
-  seen-batches marker table, and the decisions output is written
+  idempotent per batch_id: the registry append is gated on an O(1)
+  per-batch marker file (an existence probe — NOT a collect of an
+  ever-growing marker table), and the decisions output is written
   partitioned by batch_id with dynamic partition overwrite — a replayed
   batch atomically replaces its own partition instead of appending
   duplicate rows. Decisions are recomputed deterministically on replay
@@ -45,6 +52,7 @@ run/job.py).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +67,12 @@ from ..schema import CLIPS_SCHEMA
 # bigger registries (requires re-bucketing, i.e. one rewrite of the table).
 N_SHA_BUCKETS = 256
 
+# Per-bucket parquet-file bound: each micro-batch appends one file set per
+# touched bucket, so after B batches a hot bucket holds O(B) small files
+# and the "pruned read" degrades into a small-file storm. Buckets
+# exceeding this are rewritten (compacted) as part of the batch tick.
+MAX_BUCKET_FILES = 8
+
 
 def _registry_path(state_dir: str) -> str:
     return os.path.join(state_dir, "sha_registry")
@@ -68,8 +82,66 @@ def _batches_path(state_dir: str) -> str:
     return os.path.join(state_dir, "registry_batches")
 
 
+def _batch_marker(state_dir: str, batch_id: int) -> str:
+    return os.path.join(_batches_path(state_dir), f"{batch_id}.done")
+
+
 def sha_bucket_expr(col: Column | str):
     return F.pmod(F.xxhash64(col), F.lit(N_SHA_BUCKETS)).cast("int")
+
+
+def _recover_compaction(state_dir: str) -> None:
+    """Sweep leftovers of a compaction interrupted mid-swap. The swap is
+    write-tmp → rename(bucket→old) → rename(tmp→bucket) → delete old; a
+    crash can only leave (a) a stale tmp dir (harmless, deleted), or
+    (b) an ``old`` dir with the bucket dir missing (restored) / present
+    (compaction completed, ``old`` deleted). Single-writer: one streaming
+    query owns ``state_dir`` (enforced by the stream checkpoint)."""
+    try:
+        names = os.listdir(state_dir)
+    except FileNotFoundError:
+        return
+    for name in names:
+        full = os.path.join(state_dir, name)
+        if name.startswith(".sha_compact_tmp_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(".sha_compact_old_"):
+            b = name.rsplit("_", 1)[1]
+            bdir = os.path.join(_registry_path(state_dir), f"sbkt={b}")
+            if os.path.exists(bdir):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.rename(full, bdir)
+
+
+def _compact_buckets(
+    spark: SparkSession, state_dir: str, buckets: list[int]
+) -> None:
+    """Rewrite any touched registry bucket holding more than
+    ``MAX_BUCKET_FILES`` parquet files down to one file, so per-batch
+    pruned reads stay O(bucket bytes), not O(batches). Local-FS renames
+    here; on HDFS/S3 the same sequence goes through the Hadoop
+    FileSystem API (or the table graduates to Iceberg, whose rewrite
+    action is this operation natively — see run/ddl.py)."""
+    reg_root = _registry_path(state_dir)
+    for b in buckets:
+        bdir = os.path.join(reg_root, f"sbkt={b}")
+        try:
+            n_files = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
+        except FileNotFoundError:
+            continue
+        if n_files <= MAX_BUCKET_FILES:
+            continue
+        tmp = os.path.join(state_dir, f".sha_compact_tmp_{b}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the write materializes the full bucket read BEFORE the source
+        # dir is touched (sha+keeper only; sbkt lives in the dir name)
+        spark.read.parquet(bdir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(state_dir, f".sha_compact_old_{b}")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(bdir, old)
+        os.rename(tmp, bdir)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def read_registry(
@@ -95,15 +167,11 @@ def process_increment(
     dur_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Score one micro-batch against (and then update) the SHA registry.
-    Returns the decisions frame for the batch. Idempotent per batch_id."""
-    seen_batches: set[int] = set()
-    try:
-        seen_batches = {
-            r["batch_id"]
-            for r in spark.read.parquet(_batches_path(state_dir)).collect()
-        }
-    except Exception:
-        pass
+    Returns the decisions frame for the batch. Idempotent per batch_id
+    (an O(1) marker-file probe — the batch count grows without bound, so
+    collecting a marker table each tick would too)."""
+    _recover_compaction(state_dir)
+    batch_seen = os.path.exists(_batch_marker(state_dir, batch_id))
 
     hashed = new_clips.select("clip_id", sha1_expr("bytes").alias("sha"))
     # the registry buckets this batch can possibly collide with — a tiny
@@ -145,13 +213,14 @@ def process_increment(
     ).drop("keeper_clip_id")
     decisions = decide(flagged, cfg, dur_bounds)
 
-    if batch_id not in seen_batches:
+    if not batch_seen:
         new_keepers.withColumn("sbkt", sha_bucket_expr("sha")).write.mode(
             "append"
         ).partitionBy("sbkt").parquet(_registry_path(state_dir))
-        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-            "append"
-        ).parquet(_batches_path(state_dir))
+        os.makedirs(_batches_path(state_dir), exist_ok=True)
+        with open(_batch_marker(state_dir, batch_id), "w"):
+            pass
+        _compact_buckets(spark, state_dir, batch_buckets)
     return decisions
 
 
