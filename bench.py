@@ -4,14 +4,21 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
 
-Extra keys (informational, not part of the contract): clips/sec for the
-flagship corpus pipeline and LSH-vs-exact ANN recall.
+CONTRACT NOTE (learned from round 2): the driver records only the tail
+of bench stdout and parses the last line — a line over ~2000 bytes gets
+truncated at the FRONT and fails to parse (BENCH_r02.json came back
+``"parsed": null``). The printed line therefore carries the contract
+keys plus SCALAR extras only, with a hard length guard; the full detail
+(warm-pass timings, per-query deltas, regime recalls, registry metrics)
+goes to ``BENCH/bench_detail.json``.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -47,6 +54,105 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
 ]
 
+# Extras whose values are scalars and small enough for the stdout line;
+# everything else lives only in BENCH/bench_detail.json. Ordered by how
+# willing we are to DROP them if the line nears the tail window.
+LINE_EXTRAS = [
+    "clips",
+    "clips_per_sec",
+    "value_warm",
+    "value_shared_set",
+    "prev_value_shared_set",
+    "prev_bench",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ann_lsh_recall_mid",
+    "ann_ivf_recall_mid",
+    "ann_lsh_recall_neardup",
+    "registry_max_bucket_files",
+]
+MAX_LINE_BYTES = 1900
+
+
+def _latest_parsed_prev(here: str) -> tuple[str, dict] | None:
+    """Most recent BENCH_r*.json that actually parsed, NUMERIC round
+    order (lexicographic puts r10 before r2), skipping rounds the driver
+    recorded with ``parsed: null``."""
+    def round_no(p: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no, reverse=True):
+        try:
+            with open(p) as f:
+                prev = json.load(f)
+            prev = prev.get("parsed", prev) or None
+            if prev and prev.get("queries"):
+                return os.path.basename(p), prev
+        except Exception:
+            continue
+    return None
+
+
+def _planted_recall(spark, emb, topk_fn, sigma: float, n_queries: int = 50) -> float | None:
+    """Plant n deterministic queries (unit-norm corpus vector + seeded
+    gaussian jitter of scale ``sigma``) and measure whether the index
+    returns each planted source in its top-5. sigma≈0.045 → cosine≈0.94
+    (near-dup regime), sigma≈0.11 → cosine≈0.75 (mid regime) at d=64."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    src = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
+    srows = emb.where(F.col("vec_id").isin(src)).select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(123)
+    planted = []
+    for r in sorted(srows, key=lambda r: r["vec_id"]):
+        v = np.array(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        jittered = v + rng.standard_normal(len(v)) * sigma
+        planted.append(
+            (int(r["vec_id"]) + 10_000_000, [float(x) for x in (jittered / np.linalg.norm(jittered))])
+        )
+    qdf = spark.createDataFrame(planted, "vec_id: long, embedding: array<double>")
+    hits = {(r["query_id"] - 10_000_000, r["neighbor_id"]) for r in topk_fn(emb, qdf).collect()}
+    return round(sum(1 for s in src if (s, s) in hits) / len(src), 3)
+
+
+def _registry_file_metric(spark, clips_path: str, n_batches: int = 12) -> int | None:
+    """Measurable proof of the streaming-registry compaction bound: run
+    ``n_batches`` micro-batch registry ticks over the bench corpus with a
+    deliberately tiny bucket fan-out (forcing every batch onto few hot
+    buckets) and report the max parquet-file count any bucket ends with.
+    Without compaction this is ~n_batches; with it, ≤ MAX_BUCKET_FILES."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.streaming import incremental as inc
+
+    state = tempfile.mkdtemp(prefix="dqc_bench_registry_")
+    saved = inc.N_SHA_BUCKETS
+    try:
+        inc.N_SHA_BUCKETS = 4
+        clips = spark.read.parquet(clips_path).withColumn(
+            "b", F.pmod(F.xxhash64("clip_id"), F.lit(n_batches)).cast("int")
+        )
+        for bid in range(n_batches):
+            inc.process_increment(
+                spark, clips.where(F.col("b") == bid).drop("b"), state, bid
+            )
+        worst = 0
+        reg_root = os.path.join(state, "sha_registry")
+        for d in glob.glob(os.path.join(reg_root, "sbkt=*")):
+            worst = max(worst, sum(1 for f in os.listdir(d) if f.endswith(".parquet")))
+        return worst
+    except Exception:
+        return None
+    finally:
+        inc.N_SHA_BUCKETS = saved
+        shutil.rmtree(state, ignore_errors=True)
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,10 +166,10 @@ def main():
     qs = registry.queries()
 
     # corpus synthesis is one-time setup, not query work — warm the cache
-    registry._clips_path(sf_dir)
+    clips_path = registry._clips_path(sf_dir)
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -81,14 +187,13 @@ def main():
             extras["clips_per_sec"] = round(n / dt, 1)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
-    # ANN recall, two regimes:
-    #  * overall: approx top-5 vs exact top-5 for the registry queries
-    #    (this corpus' true neighbors sit at cosine ≈0.37 — the hard,
-    #    near-random regime; IVF is the operator for it);
-    #  * near-dup: 50 deterministic planted queries (unit-norm corpus
-    #    vector + seeded jitter → cosine ≈0.94 to the source) — does the
-    #    approx index return the planted source in its top-k? This is
-    #    the cosine≥0.9 regime sign-LSH is built for.
+    # ANN recall, three regimes (VERDICT r2 item 4):
+    #  * general/random: approx top-5 vs exact top-5 on the registry
+    #    queries — this corpus' true neighbors sit at cosine ≈0.37, the
+    #    hard regime; IVF is the routed operator for it (sign-LSH recall
+    #    here is near zero, honestly reported);
+    #  * mid (planted cosine ≈0.75) and near-dup (planted ≈0.94): does
+    #    the index return the planted source in its top-5?
     try:
         exact = {
             (r["query_id"], r["neighbor_id"])
@@ -104,30 +209,27 @@ def main():
     except Exception:
         pass
     try:
-        import numpy as np
-        from pyspark.sql import functions as F
         from data_quality_checker_spark.operators import ann
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        src = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(50).collect()]
-        srows = emb.where(F.col("vec_id").isin(src)).select("vec_id", "embedding").collect()
-        rng = np.random.default_rng(123)
-        planted = []
-        for r in sorted(srows, key=lambda r: r["vec_id"]):
-            v = np.array(r["embedding"], dtype=np.float64)
-            v /= np.linalg.norm(v)
-            jittered = v + rng.standard_normal(len(v)) * 0.045
-            planted.append((int(r["vec_id"]) + 10_000_000, [float(x) for x in (jittered / np.linalg.norm(jittered))]))
-        qdf = spark.createDataFrame(planted, "vec_id: long, embedding: array<double>")
-        hits = {
-            (r["query_id"] - 10_000_000, r["neighbor_id"])
-            for r in ann.lsh_topk(emb, qdf, k=5).collect()
-        }
-        extras["ann_lsh_recall_neardup"] = round(
-            sum(1 for s in src if (s, s) in hits) / len(src), 3
-        )
+        centroids = ann.fit_ivf_centroids(emb)  # index reuse: fit once
+
+        def lsh_fn(emb_df, qdf):
+            return ann.lsh_topk(emb_df, qdf, k=5)
+
+        def ivf_fn(emb_df, qdf):
+            return ann.ivf_topk(emb_df, qdf, k=5, centroids=centroids)
+
+        extras["ann_lsh_recall_neardup"] = _planted_recall(spark, emb, lsh_fn, 0.045)
+        extras["ann_lsh_recall_mid"] = _planted_recall(spark, emb, lsh_fn, 0.11)
+        extras["ann_ivf_recall_mid"] = _planted_recall(spark, emb, ivf_fn, 0.11)
     except Exception:
         pass
+
+    # streaming-registry compaction bound (VERDICT r2 items 3/8)
+    m = _registry_file_metric(spark, clips_path)
+    if m is not None:
+        extras["registry_max_bucket_files"] = m
 
     # Steady-state pass (VERDICT r1 bench hygiene): identical plans on the
     # now-warm session — splits session+UDF-worker warmup (first pass)
@@ -138,43 +240,53 @@ def main():
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - t0, 3)
-    extras["queries_warm"] = warm
+    detail: dict = {"queries_warm": warm}
     extras["value_warm"] = round(sum(warm.values()), 3)
 
-    # per-query delta vs the latest recorded round (cold-pass comparison)
-    import glob
-
+    # per-query delta vs the latest PARSEABLE recorded round (cold pass)
     here = os.path.dirname(os.path.abspath(__file__))
-    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if prev_files:
-        try:
-            with open(prev_files[-1]) as f:
-                prev = json.load(f)
-            # the driver wraps the bench line under "parsed"
-            prev = prev.get("parsed", prev) or {}
-            pq = prev.get("queries", {})
-            extras["prev_bench"] = os.path.basename(prev_files[-1])
-            extras["delta_vs_prev"] = {
-                k: round(timings[k] - pq[k], 3) for k in timings if k in pq
+    found = _latest_parsed_prev(here)
+    if found:
+        prev_name, prev = found
+        pq = prev.get("queries", {})
+        extras["prev_bench"] = prev_name
+        detail["delta_vs_prev"] = {
+            k: round(timings[k] - pq[k], 3) for k in timings if k in pq
+        }
+        # like-for-like totals: this round's suite may have MORE queries
+        # than the previous recording; compare totals over the shared set
+        # so added coverage never reads as regression
+        shared = [k for k in timings if k in pq]
+        extras["value_shared_set"] = round(sum(timings[k] for k in shared), 3)
+        extras["prev_value_shared_set"] = round(sum(pq[k] for k in shared), 3)
+        dw = prev.get("queries_warm") or {}
+        if dw:
+            detail["delta_vs_prev_warm"] = {
+                k: round(warm[k] - dw[k], 3) for k in warm if k in dw
             }
-            # like-for-like totals: this round's suite may have MORE
-            # queries than the previous recording; compare totals over
-            # the shared set so added coverage never reads as regression
-            shared = [k for k in timings if k in pq]
-            extras["value_shared_set"] = round(sum(timings[k] for k in shared), 3)
-            extras["prev_value_shared_set"] = round(sum(pq[k] for k in shared), 3)
-        except Exception:
-            pass
 
-    out = {
+    contract = {
         "metric": "total headline query wall-seconds (corpus pipeline + operator suite)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        **extras,
     }
-    print(json.dumps(out))
+
+    # full detail for humans/judges — NOT on the stdout line
+    os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+    with open(os.path.join(here, "BENCH", "bench_detail.json"), "w") as f:
+        json.dump({**contract, **extras, **detail}, f, indent=1, sort_keys=True)
+
+    # the stdout line: contract + scalar extras, hard-capped under the
+    # driver's tail window; least-important extras dropped first
+    keep = [k for k in LINE_EXTRAS if k in extras]
+    while True:
+        line = json.dumps({**contract, **{k: extras[k] for k in keep}})
+        if len(line) <= MAX_LINE_BYTES or not keep:
+            break
+        keep.pop(0)
+    print(line)
     spark.stop()
 
 
