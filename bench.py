@@ -214,14 +214,18 @@ def main():
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         centroids = ann.fit_ivf_centroids(emb)  # index reuse: fit once
 
-        def lsh_fn(emb_df, qdf):
+        def lsh_near(emb_df, qdf):
             return ann.lsh_topk(emb_df, qdf, k=5)
+
+        def lsh_mid(emb_df, qdf):
+            # declared out-of-regime: forced, to measure the honest number
+            return ann.lsh_topk(emb_df, qdf, k=5, regime="mid", force=True)
 
         def ivf_fn(emb_df, qdf):
             return ann.ivf_topk(emb_df, qdf, k=5, centroids=centroids)
 
-        extras["ann_lsh_recall_neardup"] = _planted_recall(spark, emb, lsh_fn, 0.045)
-        extras["ann_lsh_recall_mid"] = _planted_recall(spark, emb, lsh_fn, 0.11)
+        extras["ann_lsh_recall_neardup"] = _planted_recall(spark, emb, lsh_near, 0.045)
+        extras["ann_lsh_recall_mid"] = _planted_recall(spark, emb, lsh_mid, 0.11)
         extras["ann_ivf_recall_mid"] = _planted_recall(spark, emb, ivf_fn, 0.11)
     except Exception:
         pass

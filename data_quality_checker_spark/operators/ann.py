@@ -26,8 +26,10 @@ Three tiers, per the standard large-corpus design (Faiss-style):
   broadcast hash join, never a nested-loop theta-join. The near-dup
   regime path: measured recall 1.0 for planted cosine≥0.9 neighbors at
   b=12 / T=4 while scanning ~2% of the corpus (BENCH
-  `ann_lsh_recall_neardup`); recall for low-cosine (~0.4) neighbors is
-  intrinsically poor for sign-LSH — use ``ivf_topk`` there.
+  `ann_lsh_recall_neardup`); for low-cosine neighbors sign-LSH recall
+  collapses — measured 0.08 on this corpus' cosine≈0.37 true neighbors
+  — so ``lsh_topk`` takes a ``regime`` argument and refuses mid/general
+  workloads unless forced; use ``ivf_topk`` there.
 
 All candidate→exact stages re-rank with true cosine, so precision is
 exact; only recall is approximate.
@@ -102,7 +104,13 @@ def _lsh_codes_udf(n_planes: int, n_tables: int, probe: bool):
 
     @pandas_udf(ArrayType(IntegerType()))
     def codes(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:  # zero-row Arrow batch → 1-D array, no shape[1]
+            return pd.Series([], dtype=object)
         v = np.array(batch.tolist(), dtype=np.float64)
+        if v.ndim != 2:
+            raise ValueError(
+                f"embedding vectors must share one length; got batch shape {v.shape}"
+            )
         dim = v.shape[1]
         if dim not in weights:
             weights[dim] = _plane_matrix(n_planes, n_tables, dim)
@@ -181,6 +189,8 @@ def lsh_topk(
     n_tables: int = N_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    regime: str = "near_dup",
+    force: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH with Hamming≤1
     multi-probe, matched by **equi-join on (table, bucket)**:
@@ -195,12 +205,26 @@ def lsh_topk(
     each probe touches only its bucket's rows — no nested-loop pass.
 
     → (query_id, neighbor_id, rank, cosine). Recall is regime-dependent
-    (sign-LSH collision prob. is (1−θ/π)^b per table): measured 1.0 for
-    planted cosine≥0.9 neighbors at the defaults, but low (~0.4) for
-    this corpus' random-regime cosine≈0.37 neighbors — the bench reports
-    both (`ann_lsh_recall_neardup`, `ann_lsh_recall`). For the general
-    regime use ``ivf_topk``.
+    (sign-LSH collision prob. is (1−θ/π)^b per table): measured at the
+    defaults 1.0 for planted cosine≥0.9 neighbors, 0.72 at planted
+    cosine≈0.75, and **0.08 — near zero** for this corpus'
+    general-regime cosine≈0.37 true neighbors (BENCH
+    `ann_lsh_recall_neardup` / `_mid` / `ann_lsh_recall`). This is the
+    NEAR-DUP operator; ``regime`` declares the caller's workload and
+    anything other than ``"near_dup"`` raises unless ``force=True``,
+    routing mid/general-regime queries to ``ivf_topk`` (measured 1.0
+    mid / 0.94 general) — so no caller lands on 8% recall unknowingly.
     """
+    if regime not in ("near_dup", "mid", "general"):
+        raise ValueError(f"unknown regime {regime!r}: near_dup | mid | general")
+    if regime != "near_dup" and not force:
+        raise ValueError(
+            f"lsh_topk is the near-dup-regime operator; in the {regime!r} "
+            "regime its measured recall is 0.72 (mid, cosine~0.75) / 0.08 "
+            "(general, cosine~0.37) vs ivf_topk's 1.0 / 0.94 — use "
+            "ivf_topk, or pass force=True to run sign-LSH anyway (the "
+            "bench does, to keep the honest recall number on the record)."
+        )
     corpus_codes = _lsh_codes_udf(n_planes, n_tables, probe=False)
     probe_codes = _lsh_codes_udf(n_planes, n_tables, probe=True)
 
@@ -272,7 +296,13 @@ def _top_centroid_udf(centroids: np.ndarray, m: int):
 
     @pandas_udf(ArrayType(IntegerType()))
     def top_cids(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:  # zero-row Arrow batch → 1-D array, no axis=1
+            return pd.Series([], dtype=object)
         v = np.array(batch.tolist(), dtype=np.float64)
+        if v.ndim != 2:
+            raise ValueError(
+                f"embedding vectors must share one length; got batch shape {v.shape}"
+            )
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = v @ c_t
         if m >= sims.shape[1]:

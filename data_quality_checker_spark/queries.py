@@ -1621,12 +1621,17 @@ def q_clips_decisions_labels(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via deterministic multi-table hyperplane LSH,
     probe-bucket equi-join — operators/ann.lsh_topk (recall measured
-    against ann_topk in bench, overall + planted-near-dup regimes).
+    against ann_topk in bench, general + planted mid/near-dup regimes).
+    This corpus' true neighbors sit at cosine≈0.37 — the GENERAL regime,
+    where sign-LSH recall measured 0.08 — so the call declares
+    regime="general", force=True: it exists to keep the honest recall
+    number on the bench record; production general-regime queries route
+    to ann_ivf_topk (the regime guard in lsh_topk enforces this).
     Rows-only: the fp sign-threshold inside the bucket bits is not safely
     reproducible in a second engine."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    out = ann.lsh_topk(e, q, k=5)
+    out = ann.lsh_topk(e, q, k=5, regime="general", force=True)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -179,6 +179,34 @@ def test_lsh_topk_neardup_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_lsh_topk_regime_guard(spark):
+    """VERDICT r2 item 4: no caller may land on sign-LSH's measured 0.08
+    general-regime recall unknowingly — out-of-regime calls must raise
+    (routing to ivf_topk) unless explicitly forced."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    e = _emb(spark, [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(10)])
+    q = e.where("vec_id < 2")
+    for regime in ("mid", "general"):
+        with pytest.raises(ValueError, match="ivf_topk"):
+            ann.lsh_topk(e, q, k=3, regime=regime)
+    with pytest.raises(ValueError, match="unknown regime"):
+        ann.lsh_topk(e, q, k=3, regime="nope")
+    # forced out-of-regime and default near-dup calls still plan fine
+    assert ann.lsh_topk(e, q, k=3, regime="general", force=True).count() >= 0
+    assert ann.lsh_topk(e, q, k=3).count() >= 0
+
+
+def test_ann_udfs_handle_empty_partitions(spark):
+    """Zero-row Arrow batches reach the codes/centroid UDFs whenever a
+    partition is empty; they must not blow up on v.shape[1] (ADVICE r2)."""
+    e = _emb(spark, [(i, [float(i), 1.0, 0.0]) for i in range(4)]).repartition(8)
+    q = e.where("vec_id < 2").repartition(4)
+    assert ann.lsh_topk(e, q, k=2).count() >= 0
+    assert ann.ivf_topk(e, q, k=2, n_centroids=2, nprobe=1).count() >= 0
+
+
 def test_ivf_topk_recall_planted(spark):
     import numpy as np
 
