@@ -147,10 +147,13 @@ def load_rule_config(path: str, base: PipelineConfig = DEFAULT_CONFIG) -> Pipeli
           "parameters": {"perplexity_max": 40.0}
         }
 
-    * ``rules[].enabled: false`` adds the rule to ``disabled_rules``;
-    * ``rules[].parameters`` / top-level ``parameters`` override
-      PipelineConfig fields by name (lists are coerced to tuples to match
-      the frozen dataclass field types);
+    * ``rules[].enabled: false`` adds the rule to ``disabled_rules`` —
+      and its ``parameters`` are IGNORED (the fields are shared
+      PipelineConfig knobs, so applying a disabled rule's parameters
+      would silently change other rules' behavior);
+    * an enabled rule's ``parameters`` / top-level ``parameters``
+      override PipelineConfig fields by name (lists are coerced to
+      tuples to match the frozen dataclass field types);
     * unknown rule names or config fields raise — a typo must not
       silently run with defaults.
 
@@ -177,8 +180,8 @@ def load_rule_config(path: str, base: PipelineConfig = DEFAULT_CONFIG) -> Pipeli
             raise ValueError(f"unknown rule_name: {name!r}")
         if not rule.get("enabled", True):
             disabled.add(name)
-        else:
-            disabled.discard(name)
+            continue  # a disabled rule's parameters must not leak into shared config
+        disabled.discard(name)
         for k, v in rule.get("parameters", {}).items():
             _apply_param(k, v)
     for k, v in doc.get("parameters", {}).items():

@@ -57,6 +57,28 @@ def test_load_disable_and_override(spark, tmp_path):
     assert {r.name for r in build_rules(cfg)} == set(KNOWN_RULES) - {"duplicate"}
 
 
+def test_disabled_rule_parameters_do_not_leak(tmp_path):
+    """ADVICE r2: a disabled rule's parameters are shared PipelineConfig
+    fields — applying them would silently change OTHER rules' behavior,
+    so they must be ignored."""
+    cfg = load_rule_config(
+        _write(
+            tmp_path,
+            {
+                "rules": [
+                    {
+                        "rule_name": "dur_below_min",
+                        "enabled": False,
+                        "parameters": {"dur_ms_min": 99999},
+                    }
+                ]
+            },
+        )
+    )
+    assert cfg.disabled_rules == ("dur_below_min",)
+    assert cfg.dur_ms_min == DEFAULT_CONFIG.dur_ms_min
+
+
 def test_load_rejects_typos(tmp_path):
     with pytest.raises(ValueError, match="unknown rule_name"):
         load_rule_config(_write(tmp_path, {"rules": [{"rule_name": "duplicat"}]}))
