@@ -143,6 +143,52 @@ def cell_missing_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    nbins: int = 30,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Distribution histogram of a numeric column — the reference's
+    numeric-distribution chart (src/core/visualizations.py:104-145,
+    ``plt.hist(bins=30)`` driver-side) with the BINNING run distributed:
+    one map-side-combinable groupBy on the bin index, so only ``nbins``
+    counts ever reach the driver whatever the corpus size.
+
+    Bin i covers [lo + i·w, lo + (i+1)·w) with the last bin closed
+    (identical to numpy/pandas hist edges). ``bounds=(lo, hi)`` skips
+    the min/max pass — at production scale pass known domain bounds so
+    the corpus is scanned once. → (bin, bin_lo, bin_hi, n) by bin."""
+    x = F.col(col).cast("double")
+    if bounds is None:
+        r = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).first()
+        lo, hi = r["lo"], r["hi"]
+    else:
+        lo, hi = bounds
+    if lo is None or hi is None or lo == hi:
+        # empty / all-null / constant column: one degenerate bin
+        return df.where(x.isNotNull()).agg(
+            F.lit(0).cast("bigint").alias("bin"),
+            F.lit(lo).cast("double").alias("bin_lo"),
+            F.lit(hi).cast("double").alias("bin_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    w = (hi - lo) / nbins  # IEEE double — bit-identical in any engine
+    b = F.least(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(nbins - 1)).cast("bigint")
+    return (
+        df.where(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), 6).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
 def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """A16 — the ``df.describe(include='all')`` block of the reference's
     report (src/core/reporting.py:35), long-format and EXACT (linear-

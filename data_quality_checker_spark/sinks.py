@@ -213,11 +213,95 @@ def svg_bar_chart(
     )
 
 
+def svg_pie_chart(
+    pairs: list[tuple[str, int]],
+    title: str,
+    colors: dict[str, str] | None = None,
+    size: int = 220,
+) -> str:
+    """Dependency-free SVG pie — the reference's issues-by-severity pie
+    (src/core/visualizations.py:169-215, ``plt.pie(autopct='%1.1f%%')``)
+    with the same percentage labels. Driver-side, report-scale."""
+    import math
+
+    total = sum(v for _, v in pairs)
+    if not pairs or total <= 0:
+        return ""
+    cx = cy = size / 2.0
+    r = size / 2.0 - 10
+    a0 = -math.pi / 2
+    parts = []
+    for label, v in pairs:
+        frac = v / total
+        a1 = a0 + 2 * math.pi * frac
+        color = (colors or {}).get(label, "#4472a8")
+        if frac >= 0.999:  # a full-circle arc path degenerates
+            parts.append(f'<circle cx="{cx}" cy="{cy}" r="{r}" fill="{color}"/>')
+        else:
+            x0, y0 = cx + r * math.cos(a0), cy + r * math.sin(a0)
+            x1, y1 = cx + r * math.cos(a1), cy + r * math.sin(a1)
+            large = 1 if (a1 - a0) > math.pi else 0
+            parts.append(
+                f'<path d="M{cx:.1f},{cy:.1f} L{x0:.1f},{y0:.1f} '
+                f'A{r:.1f},{r:.1f} 0 {large} 1 {x1:.1f},{y1:.1f} Z" '
+                f'fill="{color}" stroke="#fff"/>'
+            )
+        am = (a0 + a1) / 2
+        lx, ly = cx + r * 0.6 * math.cos(am), cy + r * 0.6 * math.sin(am)
+        parts.append(
+            f'<text x="{lx:.1f}" y="{ly:.1f}" text-anchor="middle" font-size="11" '
+            f'fill="#fff">{_html_escape(label)} {100 * frac:.1f}%</text>'
+        )
+        a0 = a1
+    return (
+        f"<figure><figcaption>{_html_escape(title)}</figcaption>"
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" height="{size}" '
+        f'font-family="system-ui, sans-serif">{"".join(parts)}</svg></figure>'
+    )
+
+
+def svg_histogram(
+    bins: list[tuple[float, float, int]],
+    title: str,
+    width: int = 640,
+    height: int = 180,
+) -> str:
+    """Dependency-free SVG vertical histogram — the reference's numeric-
+    distribution chart (visualizations.py:104-145, ``plt.hist``).
+    ``bins`` is (bin_lo, bin_hi, n) as produced distributed by
+    operators/metrics.numeric_histogram: only the nbins counts are
+    rendered driver-side, never the data."""
+    if not bins:
+        return ""
+    vmax = max(n for _, _, n in bins) or 1
+    bw = (width - 60) / len(bins)
+    parts = []
+    for i, (_, _, n) in enumerate(bins):
+        h = (height - 40) * n / vmax
+        x = 40 + i * bw
+        parts.append(
+            f'<rect x="{x:.1f}" y="{height - 25 - h:.1f}" '
+            f'width="{max(bw - 1, 1):.1f}" height="{h:.1f}" fill="#48a0c8"/>'
+        )
+    parts.append(
+        f'<text x="40" y="{height - 8}" font-size="10">{bins[0][0]:g}</text>'
+        f'<text x="{width - 20}" y="{height - 8}" text-anchor="end" '
+        f'font-size="10">{bins[-1][1]:g}</text>'
+        f'<text x="8" y="20" font-size="10">{vmax}</text>'
+    )
+    return (
+        f"<figure><figcaption>{_html_escape(title)}</figcaption>"
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
+        f'font-family="system-ui, sans-serif">{"".join(parts)}</svg></figure>'
+    )
+
+
 def html_report(
     summary_rows: list,
     column_findings_rows: list,
     n_rows: int,
     run_id: str = "adhoc",
+    histograms: list[tuple[str, list[tuple[float, float, int]]]] | None = None,
 ) -> str:
     """S12 — HTML metrics report (export_utils.py:29-92 analog), rendered
     driver-side from the SAME collected aggregates as ``markdown_report``
@@ -231,12 +315,28 @@ def html_report(
         rule_counts[r["rule"]] = rule_counts.get(r["rule"], 0) + r["n"]
     sev_pairs = [(s, sev_counts[s]) for s in ("high", "medium", "low") if s in sev_counts]
     rule_pairs = sorted(rule_counts.items(), key=lambda kv: -kv[1])
+    # per-column missingness chart (reference visualizations.py:16-58):
+    # rendered from the already-aggregated column findings, not the data
+    missing_pairs = sorted(
+        (
+            (r["column_name"], int(r["metric"]))
+            for r in column_findings_rows
+            if r["rule"] == "missing_values" and r["column_name"] is not None
+        ),
+        key=lambda kv: -kv[1],
+    )
     body = [
         f"<h1>Data Quality Report — run {_html_escape(run_id)}</h1>",
         f"<p>Dataset rows: <strong>{n_rows}</strong></p>",
         "<h2>Visualizations</h2>",
+        svg_pie_chart(sev_pairs, "Issues by severity", colors=_SEV_COLORS),
         svg_bar_chart(sev_pairs, "Findings by severity", colors=_SEV_COLORS),
         svg_bar_chart(rule_pairs, "Findings by rule"),
+        svg_bar_chart(missing_pairs, "Missing values per column"),
+        *(
+            svg_histogram(hbins, f"Distribution of {hname}")
+            for hname, hbins in (histograms or [])
+        ),
         "<h2>Findings by severity × rule</h2>",
         _html_table(
             ["severity", "rule", "count"],
@@ -263,8 +363,17 @@ def save_html_report(
     n_rows: int,
     path: str,
     run_id: str = "adhoc",
+    histograms: list[tuple[str, DataFrame]] | None = None,
 ) -> str:
-    html = html_report(summary.collect(), column_findings.collect(), n_rows, run_id)
+    """``histograms``: (label, metrics.numeric_histogram frame) pairs —
+    each collect is ≤nbins rows; the binning already ran distributed."""
+    hist_rows = [
+        (name, [(r["bin_lo"], r["bin_hi"], r["n"]) for r in hdf.collect()])
+        for name, hdf in (histograms or [])
+    ]
+    html = html_report(
+        summary.collect(), column_findings.collect(), n_rows, run_id, hist_rows
+    )
     with open(path, "w") as f:
         f.write(html)
     return html

@@ -166,18 +166,49 @@ def test_pdf_report_structure(spark, clips_df, tmp_path):
 
 
 def test_html_report_contains_svg_charts(spark, clips_df, tmp_path):
+    """S12 chart set (reference visualizations.py parity): severity pie
+    with percentage labels, severity/rule bars, per-column missingness
+    bars, and an optional numeric-distribution histogram — every SVG
+    well-formed."""
+    from data_quality_checker_spark.operators.metrics import numeric_histogram
     from data_quality_checker_spark.pipeline import run_pipeline
     from data_quality_checker_spark.sinks import save_html_report
 
     res = run_pipeline(spark, clips_df, with_column_findings=True)
+    hist = numeric_histogram(clips_df, "dur_ms", nbins=12)
     html = save_html_report(
-        res.summary, res.column_findings, clips_df.count(), str(tmp_path / "r.html"), "r9"
+        res.summary, res.column_findings, clips_df.count(),
+        str(tmp_path / "r.html"), "r9", histograms=[("dur_ms", hist)],
     )
-    assert html.count("<svg") == 2
+    assert html.count("<svg") == 5  # pie, 2 severity/rule bars, missingness, hist
     assert "Findings by severity" in html and "Findings by rule" in html
-    # bar widths scale with the data: the max-count rule bar is widest
+    assert "Issues by severity" in html and "%" in html  # pie + pct labels
+    assert "Missing values per column" in html and "bytes" in html
+    assert "Distribution of dur_ms" in html
     import re
     import xml.etree.ElementTree as ET
 
     for frag in re.findall(r"<svg.*?</svg>", html, re.S):
         ET.fromstring(frag)  # well-formed XML
+
+
+def test_numeric_histogram_matches_numpy(spark, clips_pdf):
+    """The distributed binning must reproduce numpy's equal-width
+    histogram exactly (same edges: last bin closed, others half-open)."""
+    import numpy as np
+
+    from data_quality_checker_spark.operators.metrics import numeric_histogram
+
+    vals = clips_pdf["dur_ms"].dropna().to_numpy(dtype=float)
+    expected, _ = np.histogram(vals, bins=10, range=(vals.min(), vals.max()))
+    sdf = spark.createDataFrame(
+        [(float(v),) for v in vals], "dur_ms double"
+    )
+    got = {r["bin"]: r["n"] for r in numeric_histogram(sdf, "dur_ms", nbins=10).collect()}
+    for i, n in enumerate(expected):
+        assert got.get(i, 0) == n, (i, n, got)
+
+    # constant column degenerates to one bin, not a divide-by-zero
+    const = spark.createDataFrame([(5.0,)] * 7, "x double")
+    rows = numeric_histogram(const, "x", nbins=10).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 7
