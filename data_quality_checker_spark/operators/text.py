@@ -133,11 +133,21 @@ def fingerprints(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFra
     all character k-gram shingles (1-min-sketch — the degenerate MinHash;
     doubles as a cheap content fingerprint for near-dup candidate pruning).
 
-    Plan: array_min over a transform() of shingle hashes — ZERO shuffle
-    (the former explode + groupBy(doc_id) formulation paid a partial-agg
-    shuffle and the explode row blow-up; this is a pure map over the
-    scan, the plan you want for a per-row sketch at any corpus size).
+    Plan: array_min over a transform() of shingle hashes — no shuffle in
+    the steady state (the former explode + groupBy(doc_id) formulation
+    paid a partial-agg shuffle and the explode row blow-up; this is a
+    pure map over the scan, the plan you want for a per-row sketch at
+    any corpus size). One caveat inherited from Spark: HOF lambdas are
+    evaluated INTERPRETED (one md5 per character here), so if the scan
+    yields fewer partitions than cores (a small single-file input — the
+    sf0.1 documents table is exactly that) the whole CPU-heavy map
+    serializes on one core; only in that degenerate case is the input
+    respread first (at real corpus scale the scan already has more
+    splits than cores and no shuffle happens).
     """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     hashes = F.expr(
         f"transform(sequence(1, length({text_col}) - {k - 1}),"
         f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15), 16, 10) as bigint))"
