@@ -58,6 +58,7 @@ BENCH_QUERIES = [
 # everything else lives only in BENCH/bench_detail.json. Ordered by how
 # willing we are to DROP them if the line nears the tail window.
 LINE_EXTRAS = [
+    "session_warmup_sec",
     "clips",
     "clips_per_sec",
     "value_warm",
@@ -168,8 +169,33 @@ def main():
     # corpus synthesis is one-time setup, not query work — warm the cache
     clips_path = registry._clips_path(sf_dir)
 
+    # Session bring-up, UNTIMED but measured and reported: the first job
+    # of a fresh local JVM pays executor/codegen init (~4 s), the first
+    # Python-UDF job forks+imports one pandas worker per core (~3 s at
+    # 32 cores), and the first model-UDF batch page-loads the trained
+    # arrays (~2 s across workers). None of that is query-plan cost — on
+    # a production cluster executors are long-lived — and in rounds 1-2
+    # it all landed on whichever query ran first, which made the
+    # round-over-round deltas unattributable (the r2 "regression" was
+    # 100% warmup by the warm-pass evidence). The warmup touches no
+    # corpus table: a synthetic range and a 32-row literal frame.
+    t0 = time.time()
+    spark.range(0, 1_000_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).selectExpr(
+        "sum(id)"
+    ).collect()
+    from data_quality_checker_spark.functions.udfs import get_udfs
+
+    u = get_udfs()
+    warmdf = spark.createDataFrame(
+        [("warm up the workers and models",)] * 64, "transcript string"
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    warmdf.select(u["langid"]("transcript"), u["perplexity"]("transcript")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    session_warmup = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
-    extras: dict = {}
+    extras: dict = {"session_warmup_sec": session_warmup}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
