@@ -103,19 +103,25 @@ def minhash_band_buckets(
     band's concatenated signature slice."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(docs, k, n_hashes)
-    bands = []
-    for b in range(n_bands):
-        lo = b * rows_per_band
-        key = F.md5(
-            F.concat_ws(
-                "_", *[F.col("sig")[i].cast("string") for i in range(lo, lo + rows_per_band)]
+    # ONE pass: posexplode over the array of per-band keys. The former
+    # union-of-4-selects shape replicated the whole signature subtree
+    # once per band (ReusedExchange salvaged the shuffle but each branch
+    # re-ran the post-shuffle aggregate) — this plan touches sigs once.
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
             )
-        )
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("bucket")))
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(keys).alias("band", "bucket"))
 
 
 def minhash_lsh_pairs(
@@ -219,6 +225,7 @@ def ngram_jaccard_for_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = True,
+    prune_below: float | None = None,
 ) -> DataFrame:
     """Exact k-char-shingle Jaccard restricted to the given candidate
     pairs (doc_a, doc_b) — the LSH→verify stage: → (doc_a, doc_b,
@@ -253,12 +260,12 @@ def ngram_jaccard_for_pairs(
     # transform: the candidate-doc frame inherits the corpus scan's
     # partitioning (a single small file ⇒ ONE partition locally), and the
     # higher-order-function lambda is evaluated interpreted, so an
-    # unspread build serializes the CPU-heavy stage on one core. The
-    # shuffle moved is only the candidate docs' text — already semi-join
-    # bounded, far smaller than the corpus.
-    cdocs = docs.join(cand_ids, on=id_col, how="left_semi").repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
+    # unspread build serializes the CPU-heavy stage on one core. Gated:
+    # at real corpus scale the semi-join output is already partitioned
+    # wider than the cluster and no shuffle is added.
+    from .text import spread_small_scan
+
+    cdocs = spread_small_scan(docs.join(cand_ids, on=id_col, how="left_semi"))
     shset = cdocs.select(
         F.col(id_col), shingle_set_col(text_col, k, hashed=hashed).alias("ss")
     ).where(F.size("ss") > 0)
@@ -270,9 +277,20 @@ def ngram_jaccard_for_pairs(
     a = shset.select(F.col(id_col).alias("doc_a"), F.col("ss").alias("sa"))
     b = shset.select(F.col(id_col).alias("doc_b"), F.col("ss").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    if prune_below is not None:
+        # lossless size bound (PPJoin-family length filter): J(A,B) ≤
+        # min(|A|,|B|)/max(|A|,|B|), so a pair whose set sizes differ by
+        # more than the threshold ratio cannot reach it — the filter
+        # runs BEFORE the projection, so the O(|A|+|B|) intersect is
+        # never evaluated for pruned pairs. Callers that keep every
+        # jaccard value (the corpus-wide report shape) pass None.
+        joined = joined.where(
+            F.least(F.size("sa"), F.size("sb"))
+            >= F.lit(prune_below) * F.greatest(F.size("sa"), F.size("sb"))
+        )
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        joined
         .select(
             "doc_a",
             "doc_b",
@@ -340,7 +358,7 @@ def minhash_verified_pairs(
     if materialize_candidates:
         cand = cand.persist()
         cand.count()
-    verified = ngram_jaccard_for_pairs(docs, cand, k)
+    verified = ngram_jaccard_for_pairs(docs, cand, k, prune_below=threshold)
     return verified.where(F.col("jaccard") >= threshold)
 
 

@@ -109,16 +109,33 @@ def langid_heuristic(docs: DataFrame, min_ratio: float = 0.04) -> DataFrame:
     )
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin respread — ONLY when the plan yields fewer partitions
+    than cores. A small single-file scan gives Spark one input partition,
+    which serializes any CPU-heavy map-side stage (interpreted HOF
+    lambdas, per-shingle md5, explode fan-out) on one core; at real
+    corpus scale the scan already has more splits than cores and this is
+    a no-op (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingles(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
     """→ (doc_id, shingle): all character k-grams per document.
 
-    One narrow explode — no shuffle; downstream aggs shuffle on doc_id or
-    shingle hash. At 100 TB you'd shingle *after* an initial cheap filter
-    so the explode fan-out applies only to surviving documents.
+    One narrow explode — no shuffle in the steady state (input respread
+    first only for the small-scan degenerate case: the explode fan-out
+    plus the per-shingle hashing downstream of it are the CPU-heavy
+    map-side work of the MinHash tier). Downstream aggs shuffle on
+    doc_id or shingle hash. At 100 TB you'd shingle *after* an initial
+    cheap filter so the explode fan-out applies only to surviving
+    documents.
     """
     text = F.col(text_col)
     return (
-        docs.where(F.length(text) >= k)
+        spread_small_scan(docs.where(F.length(text) >= k))
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(1), F.length(text) - (k - 1))).alias("pos"),
@@ -145,9 +162,7 @@ def fingerprints(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFra
     respread first (at real corpus scale the scan already has more
     splits than cores and no shuffle happens).
     """
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = spread_small_scan(docs)
     hashes = F.expr(
         f"transform(sequence(1, length({text_col}) - {k - 1}),"
         f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15), 16, 10) as bigint))"
