@@ -93,10 +93,26 @@ _LINEITEM_COLS = [
 )
 def q_dup_full_rows(spark, sf_dir):
     """A2 — full-row duplicate count (validator.py:101-113) as a single
-    groupBy-all aggregation (partial+final, no driver collect)."""
+    hash-groupBy aggregation (partial+final, no driver collect).
+
+    Scale shape: grouping by the raw columns shuffles the ENTIRE wide
+    row; grouping by two independent 32/64-bit row hashes shuffles ~12
+    bytes + count per row instead — the 100 TB formulation. Correctness:
+    Spark's hash functions skip NULL inputs (so (null,'a') and
+    ('a',null) would collide systematically), hence the null-position
+    bitmap is hashed alongside the values; with 96 combined hash bits
+    the expected false-merge count is n²/2⁹⁷ ≈ 3·10⁻⁶ even at 10¹²
+    rows. The DuckDB oracle groups by the actual columns, so any
+    collision would surface as a hash-mismatch in the driver gate."""
     li = _t(spark, sf_dir, "lineitem")
+    nullmap = F.concat_ws(
+        "", *[F.col(c).isNull().cast("int").cast("string") for c in _LINEITEM_COLS]
+    )
     return (
-        li.groupBy(*_LINEITEM_COLS)
+        li.groupBy(
+            F.xxhash64(*_LINEITEM_COLS, nullmap).alias("_h1"),
+            F.hash(*_LINEITEM_COLS, nullmap).alias("_h2"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("bigint").alias("dup_rows"))
     )
