@@ -156,6 +156,33 @@ def q_quantiles_price(spark, sf_dir):
 
 
 @register(
+    "quantiles_price_scalable",
+    """
+    SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS q1,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS median,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS q3
+    FROM orders
+    """,
+)
+def q_quantiles_price_scalable(spark, sf_dir):
+    """A5 at corpus scale — the SAME exact quantiles as quantiles_price
+    (identical oracle proves it) via distributed exact selection
+    (operators/outliers.exact_quantiles_scalable): approx-bracket, count
+    below + collect only the ≈4n/accuracy in-bracket values, exact
+    order-statistic interpolation driver-side. Spark's `percentile`
+    buffers the whole column in ONE aggregation buffer and cannot run at
+    10^12 rows; this shape can (two column-pruned passes, bounded
+    collect)."""
+    from .operators.outliers import exact_quantiles_scalable
+
+    o = _t(spark, sf_dir, "orders")
+    q1, med, q3 = exact_quantiles_scalable(o, "o_totalprice", [0.25, 0.5, 0.75])
+    return spark.createDataFrame(
+        [(round(q1, 4), round(med, 4), round(q3, 4))], "q1 double, median double, q3 double"
+    )
+
+
+@register(
     "histogram_price",
     """
     WITH x AS (
@@ -1708,8 +1735,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 # simhash_neardup_pairs; ngram_jaccard — the corpus-wide Jaccard math is
 # also oracle-verified inside minhash_verified_pairs' exact-verify
 # stage), so a cap drops redundant rows, never unique ones.
-_FIRST = ["ann_ivf_topk", "summary_stats_categorical", "histogram_price"]
-_LAST = ["topk_orders", "simhash_docs", "ngram_jaccard"]
+_FIRST = [
+    "ann_ivf_topk",
+    "summary_stats_categorical",
+    "histogram_price",
+    "quantiles_price_scalable",
+]
+# nation_rollup joins J3's second green row (regional_revenue covers the
+# same §2 id with a 5-way star)
+_LAST = ["topk_orders", "simhash_docs", "ngram_jaccard", "nation_rollup"]
 
 
 def _ordered_names() -> list[str]:

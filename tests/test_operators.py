@@ -66,6 +66,39 @@ def test_iqr_bounds_match_pandas(spark):
     assert got == pytest.approx((q1 - 1.5 * iqr, q3 + 1.5 * iqr))
 
 
+def test_exact_quantiles_scalable_matches_percentile(spark):
+    """The distributed exact-selection quantiles must equal Spark's
+    single-buffer percentile() bit-for-bit across shapes: random,
+    duplicate-heavy, and a forced multi-round escalation (max_collect
+    smaller than the bracket)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.operators.outliers import exact_quantiles_scalable
+
+    rng = np.random.default_rng(11)
+    cases = [
+        [float(v) for v in rng.normal(100, 20, size=5000)],
+        [float(v) for v in rng.integers(0, 8, size=4000)],  # heavy ties
+        [1.0],  # single value
+    ]
+    qs = [0.25, 0.5, 0.75, 0.9]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        expected = df.agg(
+            F.expr(f"percentile(x, array({', '.join(map(str, qs))}))")
+        ).first()[0]
+        got = exact_quantiles_scalable(df, "x", qs)
+        assert got == pytest.approx(expected, abs=0.0), (got, expected)
+        # escalation path: bracket forced above max_collect
+        got2 = exact_quantiles_scalable(df, "x", qs, accuracy=10, max_collect=50)
+        assert got2 == pytest.approx(expected, rel=0, abs=1e-12), (got2, expected)
+
+    # all-null column → None
+    dfn = spark.createDataFrame([(None,), (None,)], "x double")
+    assert exact_quantiles_scalable(dfn, "x", qs) is None
+
+
 def test_iqr_bounds_guards(spark):
     # fewer than 5 non-null values → None (validator.py:273)
     df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
