@@ -443,6 +443,70 @@ def minhash_verified_pairs_collapsed(
     return cross.unionByName(within)
 
 
+def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components of the near-dup pair graph — the step a real
+    corpus dedup runs AFTER pair verification: near-duplication is
+    transitive in practice (A≈B≈C), so keep/drop decisions must be per
+    CLUSTER, not per pair, or A→B and B→C both drop and a whole clique
+    vanishes.
+
+    → (doc_id, cluster_id, is_dup) for every doc appearing in ``pairs``:
+    cluster_id = min doc_id of the component (so the keeper is the row
+    with doc_id == cluster_id, matching the keep-first-min-id semantics
+    of every other dedup tier here), is_dup for the rest.
+
+    Plan: min-label propagation — labels start as own id; each round
+    every node takes the min of its own and its neighbors' labels; stop
+    when a round changes nothing. Rounds = O(component diameter), and
+    near-dup components are dense cliques from LSH buckets (diameter
+    1–2), so this converges in 2–3 rounds even at corpus scale — each
+    round one equi-join + one groupBy on (id), both AQE-planned. Lineage
+    is truncated per round with an eager localCheckpoint: the label
+    frame is 2 longs/row, and an unbounded iterative plan otherwise
+    grows analysis time superlinearly. (GraphX/GraphFrames solve this
+    generically; two longs and a loop need no extra runtime, and the
+    alternating-star optimization is unnecessary at diameter ≤ 3.)
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "v"), "v"
+        ).select(F.col("u").alias("doc_id"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_dup"),
+    )
+
+
 def simhash(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     """→ (doc_id, simhash): Charikar sign-random-projection over whitespace
     tokens. Bit b of the fingerprint is 1 iff Σ_tokens (±1 per token,

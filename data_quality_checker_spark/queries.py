@@ -1107,10 +1107,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return simdedup.minhash_lsh_pairs(d, k=8)
 
 
-@register(
-    "minhash_verified_pairs",
-    f"""
-    WITH sig AS ({_minhash_sql(simdedup.N_HASHES)}),
+# CTE body shared by minhash_verified_pairs and neardup_clusters (the
+# component query wraps the same pair derivation in a recursive CTE)
+def _verified_pairs_ctes() -> str:
+    return f"""
+    sig AS ({_minhash_sql(simdedup.N_HASHES)}),
     bands AS ({_band_sql()}),
     cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1131,16 +1132,25 @@ def q_minhash_lsh_pairs(spark, sf_dir):
       JOIN csh a ON a.doc_id = c.doc_a
       JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes sa ON sa.doc_id = c.doc_a
-    JOIN sizes sb ON sb.doc_id = c.doc_b
-    WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-          / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) >= 0.5
+    ),
+    vp AS (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) >= 0.5
+    )"""
+
+
+@register(
+    "minhash_verified_pairs",
+    f"""
+    WITH {_verified_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM vp
     """,
 )
 def q_minhash_verified_pairs(spark, sf_dir):
@@ -1151,6 +1161,35 @@ def q_minhash_verified_pairs(spark, sf_dir):
     src/core/validator.py:101-123)."""
     d = _t(spark, sf_dir, "documents")
     return simdedup.minhash_verified_pairs(d, k=8, threshold=0.5)
+
+
+@register(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE {_verified_pairs_ctes()},
+    nodes AS (SELECT doc_a AS doc_id FROM vp UNION SELECT doc_b FROM vp),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+              UNION ALL SELECT doc_b, doc_a FROM vp),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+      UNION
+        SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.doc_id
+    )
+    SELECT doc_id, min(label) AS cluster_id,
+           (doc_id != min(label)) AS is_dup
+    FROM walk GROUP BY doc_id
+    """,
+)
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the verified pair
+    graph (operators/simdedup.neardup_components — iterative min-label
+    propagation, rounds = component diameter). Near-duplication is
+    transitive in practice, so corpus dedup keeps one doc per component
+    (keeper = min doc_id = cluster_id), not one per pair. Oracle: the
+    same pair CTEs wrapped in a recursive transitive-closure CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = simdedup.minhash_verified_pairs(d, k=8, threshold=0.5)
+    return simdedup.neardup_components(pairs)
 
 
 @register(
@@ -1740,10 +1779,18 @@ _FIRST = [
     "summary_stats_categorical",
     "histogram_price",
     "quantiles_price_scalable",
+    "neardup_clusters",
 ]
 # nation_rollup joins J3's second green row (regional_revenue covers the
-# same §2 id with a 5-way star)
-_LAST = ["topk_orders", "simhash_docs", "ngram_jaccard", "nation_rollup"]
+# same §2 id with a 5-way star); minhash_sigs is transitively exercised
+# by both minhash_lsh_pairs and minhash_verified_pairs
+_LAST = [
+    "topk_orders",
+    "simhash_docs",
+    "ngram_jaccard",
+    "nation_rollup",
+    "minhash_sigs",
+]
 
 
 def _ordered_names() -> list[str]:

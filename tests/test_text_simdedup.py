@@ -179,6 +179,25 @@ def test_lsh_topk_neardup_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_neardup_components_chain_and_clique(spark):
+    """Min-label propagation must converge on a CHAIN (diameter > 1 —
+    forces multiple rounds: 1-2-3-4-5 collapses to label 1), keep
+    disjoint cliques separate, and mark exactly one keeper per
+    component (doc_id == cluster_id)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_dup"])
+        for r in simdedup.neardup_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, True), 4: (1, True), 5: (1, True),
+        10: (10, False), 11: (10, True), 12: (10, True),
+    }
+
+
 def test_lsh_topk_regime_guard(spark):
     """VERDICT r2 item 4: no caller may land on sign-LSH's measured 0.08
     general-regime recall unknowingly — out-of-regime calls must raise
