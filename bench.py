@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "minhash_verified_pairs",
+    "neardup_clusters",
+    "quantiles_price_scalable",
+    "histogram_price",
     "simhash_docs",
     "ngram_jaccard",
     "embed_neardup",

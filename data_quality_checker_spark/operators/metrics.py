@@ -195,7 +195,15 @@ def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     interpolation percentiles, like pandas; Spark's df.summary() uses
     approx_percentile and caps at its default accuracy):
     → (column, n, mean, stddev, min, q25, median, q75, max), one row per
-    requested numeric column, all stats from ONE aggregate pass."""
+    requested numeric column, all stats from ONE aggregate pass.
+
+    Scale note: the exact ``percentile`` aggregate buffers each column's
+    values in one aggregation buffer — fine for report-scale tables
+    (this is a describe() analog), NOT for 10^12-row columns. At corpus
+    scale swap the three percentile terms for
+    outliers.exact_quantiles_scalable per column (bit-identical values,
+    bounded memory, +2 passes) or percentile_approx with a documented
+    ε."""
     aggs = []
     for c in cols:
         x = F.col(c).cast("double")
