@@ -26,6 +26,12 @@ def ship_package(spark: SparkSession) -> None:
     if getattr(spark, "_dqc_package_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a --py-files zip (the spark-submit deploy path):
+        # the runtime already ships the archive to every executor, and
+        # there is no on-disk tree to re-zip
+        spark._dqc_package_shipped = True  # type: ignore[attr-defined]
+        return
     parent = os.path.dirname(pkg_dir)
     zip_base = os.path.join(tempfile.mkdtemp(prefix="dqc_pyfiles_"), "data_quality_checker_spark")
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=parent, base_dir="data_quality_checker_spark")

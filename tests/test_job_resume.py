@@ -90,3 +90,70 @@ def test_resume_after_partial_failure(spark, corpus_path, tmp_path_factory):
     sv = summary_view(spark, out).where(F.col("run_id") == "run2").first()
     assert sv["rows_in"] == len(expected)
     assert sv["rows_kept"] + sv["rows_dropped"] == sv["rows_in"]
+
+
+def test_spark_submit_py_files_smoke(clips_pdf, tmp_path_factory):
+    """North-rule launch contract: the job runs via ``spark-submit
+    --py-files <package.zip>`` from a directory where the repo is NOT
+    importable — driver and executors both resolve the package from the
+    shipped zip (session.ship_package skips re-zipping under a zip
+    import). One tiny corpus, real subprocess, JSON stats on stdout."""
+    import glob
+    import json
+    import subprocess
+    import sys
+    import zipfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tmp_path_factory.mktemp("submit")
+    zpath = str(tmp / "dqc.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in glob.glob(
+            os.path.join(repo, "data_quality_checker_spark", "**", "*.py"),
+            recursive=True,
+        ):
+            z.write(f, os.path.relpath(f, repo))
+
+    inp = str(tmp / "clips.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            clips_pdf.drop(columns=["defect"]).head(60), preserve_index=False
+        ),
+        inp,
+    )
+    launcher = tmp / "launch_job.py"
+    launcher.write_text(
+        "from data_quality_checker_spark.run.job import main\nmain()\n"
+    )
+    out = str(tmp / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["SPARK_GRAFT_CPUS"] = "2"
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zpath,
+            str(launcher),
+            "--input", inp,
+            "--output", out,
+            "--run-id", "submit-smoke",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp),  # repo not importable from here — the zip must carry it
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["rows_processed"] == 60
+    dec_files = glob.glob(os.path.join(out, "decisions", "**", "*.parquet"), recursive=True)
+    assert dec_files, "no decisions written"
