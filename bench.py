@@ -71,6 +71,7 @@ LINE_EXTRAS = [
     "ann_lsh_recall",
     "ann_ivf_recall",
     "ann_lsh_recall_mid",
+    "ann_lsh_recall_mid_h2",
     "ann_ivf_recall_mid",
     "ann_lsh_recall_neardup",
     "registry_max_bucket_files",
@@ -247,14 +248,19 @@ def main():
             return ann.lsh_topk(emb_df, qdf, k=5)
 
         def lsh_mid(emb_df, qdf):
-            # declared out-of-regime: forced, to measure the honest number
+            # declared out-of-regime at H<=1: forced, for the honest number
             return ann.lsh_topk(emb_df, qdf, k=5, regime="mid", force=True)
+
+        def lsh_mid_h2(emb_df, qdf):
+            # the supported mid-regime configuration (wider multi-probe)
+            return ann.lsh_topk(emb_df, qdf, k=5, regime="mid", max_hamming=2)
 
         def ivf_fn(emb_df, qdf):
             return ann.ivf_topk(emb_df, qdf, k=5, centroids=centroids)
 
         extras["ann_lsh_recall_neardup"] = _planted_recall(spark, emb, lsh_near, 0.045)
         extras["ann_lsh_recall_mid"] = _planted_recall(spark, emb, lsh_mid, 0.11)
+        extras["ann_lsh_recall_mid_h2"] = _planted_recall(spark, emb, lsh_mid_h2, 0.11)
         extras["ann_ivf_recall_mid"] = _planted_recall(spark, emb, ivf_fn, 0.11)
     except Exception:
         pass

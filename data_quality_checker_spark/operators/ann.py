@@ -26,9 +26,11 @@ Three tiers, per the standard large-corpus design (Faiss-style):
   broadcast hash join, never a nested-loop theta-join. The near-dup
   regime path: measured recall 1.0 for planted cosine≥0.9 neighbors at
   b=12 / T=4 while scanning ~2% of the corpus (BENCH
-  `ann_lsh_recall_neardup`); for low-cosine neighbors sign-LSH recall
-  collapses — measured 0.08 on this corpus' cosine≈0.37 true neighbors
-  — so ``lsh_topk`` takes a ``regime`` argument and refuses mid/general
+  `ann_lsh_recall_neardup`); the mid regime (cosine 0.6–0.9) needs the
+  wider ``max_hamming=2`` multi-probe (measured 0.94 vs 0.56 at H≤1);
+  for low-cosine neighbors sign-LSH recall collapses — measured 0.08 on
+  this corpus' cosine≈0.37 true neighbors — so ``lsh_topk`` takes a
+  ``regime`` argument and refuses under-provisioned mid and all general
   workloads unless forced; use ``ivf_topk`` there.
 
 All candidate→exact stages re-rank with true cosine, so precision is
@@ -86,20 +88,33 @@ def _plane_matrix(n_planes: int, n_tables: int, dim: int) -> np.ndarray:
     )
 
 
-def _lsh_codes_udf(n_planes: int, n_tables: int, probe: bool):
+def _probe_flips(n_planes: int, max_hamming: int) -> np.ndarray:
+    """All XOR masks of popcount ≤ max_hamming over n_planes bits, in
+    deterministic (popcount, value) order: 1 + b masks at H≤1,
+    1 + b + b(b−1)/2 at H≤2 (79 for b=12)."""
+    from itertools import combinations
+
+    masks = [0]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            masks.append(sum(1 << p for p in bits))
+    return np.array(masks, dtype=np.int64)
+
+
+def _lsh_codes_udf(n_planes: int, n_tables: int, probe: bool, max_hamming: int = 1):
     """Arrow-batched pandas UDF: vector batch → flat int array of bucket
     ids, one GEMM per batch (the hyperplane weights are constants — never
     recomputed per row, unlike an expression-tree formulation which would
     evaluate n_tables·n_planes·dim hash calls per row).
 
     * probe=False (corpus side): n_tables ids — position == table.
-    * probe=True (query side): n_tables·(1+n_planes) ids — for each
-      table, the vector's own bucket plus every Hamming-1 bit flip;
-      position // (1+n_planes) == table.
+    * probe=True (query side): n_tables·n_flips ids — for each table,
+      the vector's own bucket plus every Hamming≤max_hamming bit flip
+      (``_probe_flips``); position // n_flips == table.
     """
     from pyspark.sql.functions import pandas_udf
 
-    flips = np.array([0] + [1 << p for p in range(n_planes)], dtype=np.int64)
+    flips = _probe_flips(n_planes, max_hamming)
     weights: dict[int, np.ndarray] = {}
 
     @pandas_udf(ArrayType(IntegerType()))
@@ -191,13 +206,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     regime: str = "near_dup",
     force: bool = False,
+    max_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via multi-table sign-LSH with Hamming≤1
+    """Approximate top-k via multi-table sign-LSH with Hamming≤h
     multi-probe, matched by **equi-join on (table, bucket)**:
 
     * corpus side: each vector → ``n_tables`` rows (tbl, bucket, nv);
-    * query side: each query → ``n_tables·(1+n_planes)`` probe rows
-      (tbl, bucket) — its own bucket plus every 1-bit flip per table;
+    * query side: each query → ``n_tables·n_flips`` probe rows
+      (tbl, bucket) — its own bucket plus every ≤max_hamming bit flip
+      per table (13 flips at H≤1, 79 at H≤2 for b=12);
     * candidates = hash-join on (tbl, bucket); query side broadcast.
 
     The bucket id IS the join key, so at cluster scale the corpus
@@ -205,28 +222,39 @@ def lsh_topk(
     each probe touches only its bucket's rows — no nested-loop pass.
 
     → (query_id, neighbor_id, rank, cosine). Recall is regime-dependent
-    (sign-LSH collision prob. is (1−θ/π)^b per table): measured at the
-    defaults 1.0 for planted cosine≥0.9 neighbors, 0.72 at planted
+    (sign-LSH collision prob. is (1−θ/π)^b per table). Measured at the
+    H≤1 defaults: 1.0 for planted cosine≥0.9 neighbors, 0.72 at planted
     cosine≈0.75, and **0.08 — near zero** for this corpus'
     general-regime cosine≈0.37 true neighbors (BENCH
-    `ann_lsh_recall_neardup` / `_mid` / `ann_lsh_recall`). This is the
-    NEAR-DUP operator; ``regime`` declares the caller's workload and
-    anything other than ``"near_dup"`` raises unless ``force=True``,
-    routing mid/general-regime queries to ``ivf_topk`` (measured 1.0
-    mid / 0.94 general) — so no caller lands on 8% recall unknowingly.
+    `ann_lsh_recall_neardup` / `_mid` / `ann_lsh_recall`).
+    ``max_hamming=2`` widens the probe to make the MID regime viable
+    (measured 0.94 at planted cosine≈0.75, vs the 0.91 the collision
+    math predicts; BENCH `ann_lsh_recall_mid_h2`) at ~6× the probed
+    buckets. ``regime`` declares the caller's workload:
+    ``"mid"`` requires ``max_hamming≥2`` (or ``force``), ``"general"``
+    always raises unless forced — route it to ``ivf_topk`` (measured
+    1.0 mid / 0.94 general) — so no caller lands on 8% recall
+    unknowingly.
     """
     if regime not in ("near_dup", "mid", "general"):
         raise ValueError(f"unknown regime {regime!r}: near_dup | mid | general")
-    if regime != "near_dup" and not force:
+    if regime == "mid" and max_hamming < 2 and not force:
         raise ValueError(
-            f"lsh_topk is the near-dup-regime operator; in the {regime!r} "
-            "regime its measured recall is 0.72 (mid, cosine~0.75) / 0.08 "
-            "(general, cosine~0.37) vs ivf_topk's 1.0 / 0.94 — use "
+            "lsh_topk in the 'mid' regime (cosine~0.6-0.9) measured 0.72 "
+            "recall at the Hamming<=1 defaults — pass max_hamming=2 "
+            "(measured ~0.9 recall, ~6x probed buckets), use ivf_topk "
+            "(measured 1.0), or pass force=True."
+        )
+    if regime == "general" and not force:
+        raise ValueError(
+            "lsh_topk is the near-dup/mid-regime operator; general-regime "
+            "(low-cosine) recall measured 0.08 vs ivf_topk's 0.94 — use "
             "ivf_topk, or pass force=True to run sign-LSH anyway (the "
             "bench does, to keep the honest recall number on the record)."
         )
     corpus_codes = _lsh_codes_udf(n_planes, n_tables, probe=False)
-    probe_codes = _lsh_codes_udf(n_planes, n_tables, probe=True)
+    probe_codes = _lsh_codes_udf(n_planes, n_tables, probe=True, max_hamming=max_hamming)
+    n_flips = len(_probe_flips(n_planes, max_hamming))
 
     base = emb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -240,7 +268,7 @@ def lsh_topk(
     ).select(
         "query_id",
         "qv",
-        (F.col("pos") / F.lit(1 + n_planes)).cast("int").alias("tbl"),
+        (F.col("pos") / F.lit(n_flips)).cast("int").alias("tbl"),
         "bucket",
     )
 

@@ -215,6 +215,8 @@ def test_lsh_topk_regime_guard(spark):
     # forced out-of-regime and default near-dup calls still plan fine
     assert ann.lsh_topk(e, q, k=3, regime="general", force=True).count() >= 0
     assert ann.lsh_topk(e, q, k=3).count() >= 0
+    # the mid regime is legitimate WITH the wider Hamming<=2 probe
+    assert ann.lsh_topk(e, q, k=3, regime="mid", max_hamming=2).count() >= 0
 
 
 def test_ann_udfs_handle_empty_partitions(spark):
