@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "clips_decisions",
     "clips_findings_summary",
+    "audio_features",
+    "vad_segments",
+    "audio_chunks",
+    "audio_resample_stats",
     "null_counts",
     "dup_full_rows",
     "quantiles_price",

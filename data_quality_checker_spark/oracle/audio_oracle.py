@@ -1,0 +1,167 @@
+"""Eager pandas ground-truth labeler for the AUDIO operator tier
+(operators/audio.py) — the independent second implementation behind the
+driver's hash-green fixtures for audio_features / vad_segments /
+audio_resample_stats.
+
+Written like oracle/pandas_oracle.py: per-row loops, eager pandas, zero
+shared implementation with the Spark operators — only the SPEC constants
+(FRAME_MS, SILENCE_DBFS, RESAMPLE_SR) and the codec decoder are imported,
+because those are the semantics under test (same policy as the shared
+config.py thresholds for the rules tier). Everything integer is exact by
+construction; every float is produced by the same closed formula the spec
+mandates, so parquet round-trip + DuckDB read reproduce the Spark values
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..corpus.audio import decode_clip_i16
+from ..operators.audio import FRAME_MS, RESAMPLE_SR, SILENCE_DBFS
+
+
+def _silent_frames(x: np.ndarray, sr: int) -> np.ndarray | None:
+    """Per-frame silent mask, computed the slow eager way: reduceat over
+    exact int64 squares (the operator reshapes instead)."""
+    frame_len = sr * FRAME_MS // 1000
+    if frame_len <= 0:
+        return None
+    n_frames = len(x) // frame_len
+    if n_frames == 0:
+        return np.zeros(0, dtype=bool)
+    sq = x[: n_frames * frame_len].astype(np.int64) ** 2
+    energy = np.add.reduceat(sq, np.arange(0, n_frames * frame_len, frame_len))
+    amp = (10.0 ** (SILENCE_DBFS / 20.0)) * 32767.0
+    return energy < (amp * amp) * frame_len
+
+
+def label_audio_features(clips: pd.DataFrame) -> pd.DataFrame:
+    """Expected (clip_id, …features) — one row per clip, nulls for
+    undecodable payloads (mirrors operators/audio.audio_features)."""
+    cols = [
+        "n_frames", "n_silent_frames", "silence_ratio", "lead_silence_ms",
+        "trail_silence_ms", "n_segments", "voiced_ms", "zero_crossings",
+        "zcr", "rms_dbfs",
+    ]
+    rows = []
+    for r in clips.itertuples():
+        out = {c: None for c in cols}
+        out["clip_id"] = r.clip_id
+        decoded = None
+        if r.bytes is not None and not (isinstance(r.bytes, float) and pd.isna(r.bytes)):
+            sr_arg = None if pd.isna(r.sr_hz) else int(r.sr_hz)
+            decoded = decode_clip_i16(bytes(r.bytes), r.codec, sr_arg)
+        if decoded is not None:
+            x, sr = decoded
+            m = len(x)
+            silent = _silent_frames(x, sr)
+            if m and silent is not None:
+                n_frames = len(silent)
+                out["n_frames"] = n_frames
+                n_silent = int(silent.sum())
+                out["n_silent_frames"] = n_silent
+                out["silence_ratio"] = n_silent / n_frames if n_frames else None
+                voiced_idx = [i for i, s in enumerate(silent) if not s]
+                if voiced_idx:
+                    out["lead_silence_ms"] = voiced_idx[0] * FRAME_MS
+                    out["trail_silence_ms"] = (n_frames - 1 - voiced_idx[-1]) * FRAME_MS
+                    segs = sum(
+                        1
+                        for j, i in enumerate(voiced_idx)
+                        if j == 0 or voiced_idx[j - 1] != i - 1
+                    )
+                    out["n_segments"] = segs
+                else:
+                    out["lead_silence_ms"] = n_frames * FRAME_MS
+                    out["trail_silence_ms"] = n_frames * FRAME_MS
+                    out["n_segments"] = 0
+                out["voiced_ms"] = (n_frames - n_silent) * FRAME_MS
+                if m > 1:
+                    prod = x.astype(np.int32)[:-1] * x.astype(np.int32)[1:]
+                    crossings = int((prod < 0).sum())
+                    out["zero_crossings"] = crossings
+                    out["zcr"] = crossings / (m - 1)
+                else:
+                    out["zero_crossings"] = 0
+                    out["zcr"] = 0.0
+                energy = int(np.dot(x.astype(np.int64), x.astype(np.int64)))
+                if energy > 0:
+                    out["rms_dbfs"] = 20.0 * np.log10(np.sqrt(energy / m) / 32767.0)
+        rows.append(out)
+    df = pd.DataFrame(rows, columns=["clip_id"] + cols)
+    for c in ("n_frames", "n_silent_frames", "lead_silence_ms",
+              "trail_silence_ms", "n_segments", "voiced_ms", "zero_crossings"):
+        df[c] = df[c].astype("Int64")
+    for c in ("silence_ratio", "zcr", "rms_dbfs"):
+        df[c] = df[c].astype("float64")
+    return df
+
+
+def label_vad_segments(clips: pd.DataFrame) -> pd.DataFrame:
+    """Expected (clip_id, seg_idx, start_ms, end_ms) — one row per voiced
+    run (mirrors operators/audio.vad_segments; zero rows for silent or
+    undecodable clips)."""
+    rows = []
+    for r in clips.itertuples():
+        if r.bytes is None or (isinstance(r.bytes, float) and pd.isna(r.bytes)):
+            continue
+        sr_arg = None if pd.isna(r.sr_hz) else int(r.sr_hz)
+        decoded = decode_clip_i16(bytes(r.bytes), r.codec, sr_arg)
+        if decoded is None:
+            continue
+        x, sr = decoded
+        silent = _silent_frames(x, sr)
+        if silent is None or not len(silent):
+            continue
+        seg_idx, start = 0, None
+        for i, s in enumerate(silent):
+            if not s and start is None:
+                start = i
+            elif s and start is not None:
+                rows.append((r.clip_id, seg_idx, start * FRAME_MS, i * FRAME_MS))
+                seg_idx += 1
+                start = None
+        if start is not None:
+            rows.append((r.clip_id, seg_idx, start * FRAME_MS, len(silent) * FRAME_MS))
+    df = pd.DataFrame(rows, columns=["clip_id", "seg_idx", "start_ms", "end_ms"])
+    df["seg_idx"] = df["seg_idx"].astype("int32")
+    df["start_ms"] = df["start_ms"].astype("int64")
+    df["end_ms"] = df["end_ms"].astype("int64")
+    return df
+
+
+def label_resample_stats(clips: pd.DataFrame, sr_out: int = RESAMPLE_SR) -> pd.DataFrame:
+    """Expected (clip_id, out_sr, n_out, sum_abs) for the linear resampler
+    (mirrors operators/audio.resample_clips minus the payload column; the
+    payload itself is covered by the pytest SNR gate). The interpolation
+    follows the spec's rational-position formula sample by sample."""
+    rows = []
+    for r in clips.itertuples():
+        out = {"clip_id": r.clip_id, "out_sr": None, "n_out": None, "sum_abs": None}
+        decoded = None
+        if r.bytes is not None and not (isinstance(r.bytes, float) and pd.isna(r.bytes)):
+            sr_arg = None if pd.isna(r.sr_hz) else int(r.sr_hz)
+            decoded = decode_clip_i16(bytes(r.bytes), r.codec, sr_arg)
+        if decoded is not None:
+            x, sr = decoded
+            m = len(x)
+            n_out = (m * sr_out) // sr if (m and sr > 0 and sr_out > 0) else 0
+            idx = np.arange(n_out, dtype=np.int64)
+            p_num = idx * sr
+            pos = np.minimum(p_num // sr_out, m - 1)
+            nxt = np.minimum(pos + 1, m - 1)
+            rem = p_num - (p_num // sr_out) * sr_out
+            xf = x.astype(np.float64)
+            y = xf[pos] + (xf[nxt] - xf[pos]) * (rem.astype(np.float64) / sr_out)
+            yi = np.rint(y).astype(np.int16)
+            out["out_sr"] = sr_out
+            out["n_out"] = int(n_out)
+            out["sum_abs"] = int(np.abs(yi.astype(np.int64)).sum())
+        rows.append(out)
+    df = pd.DataFrame(rows, columns=["clip_id", "out_sr", "n_out", "sum_abs"])
+    df["out_sr"] = df["out_sr"].astype("Int32")
+    df["n_out"] = df["n_out"].astype("Int64")
+    df["sum_abs"] = df["sum_abs"].astype("Int64")
+    return df

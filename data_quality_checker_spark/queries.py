@@ -1731,6 +1731,128 @@ def q_clips_decisions_labels(spark, sf_dir):
     )
 
 
+def ensure_audio_fixtures(sf_dir: str) -> dict[str, str]:
+    """Write (once, deterministically) the eager audio-oracle expected
+    outputs for the synthetic corpus at this sf — the audio-tier analog of
+    ensure_expected_fixtures: features / VAD segments / resample stats
+    computed by the independent per-row labeler (oracle/audio_oracle.py),
+    parquet'd so DuckDB can hash-compare the Spark operators against them.
+    tmp+rename writes; cache keyed by sf + generator version."""
+    base, sf = _sf_of(sf_dir)
+    paths = {
+        "features": f"/tmp/dqc_expected_audio_{base}{_TAG}.parquet",
+        "segments": f"/tmp/dqc_expected_segments_{base}{_TAG}.parquet",
+        "resample": f"/tmp/dqc_expected_resample_{base}{_TAG}.parquet",
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+
+    from .corpus.generator import generate_clips
+    from .oracle import audio_oracle
+
+    clips = generate_clips(sf).drop(columns=["defect"])
+    outs = {
+        "features": audio_oracle.label_audio_features(clips),
+        "segments": audio_oracle.label_vad_segments(clips),
+        "resample": audio_oracle.label_resample_stats(clips),
+    }
+    for k, pdf in outs.items():
+        tmp = f"{paths[k]}.tmp.{os.getpid()}"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, paths[k])
+    return paths
+
+
+@register(
+    "audio_features",
+    f"""
+    SELECT * FROM read_parquet('/tmp/dqc_expected_audio_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_audio_features(spark, sf_dir):
+    """Framewise audio content profile (silence ratio, lead/trail trim
+    points, voiced segments count, ZCR, RMS dBFS) per clip —
+    operators/audio.audio_features: one map-only Arrow-batched scan, no
+    shuffle. Oracle: the independently-implemented eager pandas labeler's
+    fixture (oracle/audio_oracle.label_audio_features) — integer-exact
+    framewise math makes the comparison bit-stable."""
+    from .operators.audio import audio_features
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    return audio_features(clips)
+
+
+@register(
+    "vad_segments",
+    f"""
+    SELECT clip_id, seg_idx, start_ms, end_ms
+    FROM read_parquet('/tmp/dqc_expected_segments_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_vad_segments(spark, sf_dir):
+    """Energy-threshold VAD segmentation: one row per contiguous voiced
+    frame run per clip — operators/audio.vad_segments (map-only scan +
+    generator explode). Oracle: eager labeler fixture
+    (oracle/audio_oracle.label_vad_segments); all-integer columns."""
+    from .operators.audio import vad_segments
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    return vad_segments(clips)
+
+
+@register(
+    "audio_chunks",
+    f"""
+    WITH c AS (
+      SELECT clip_id, CAST(dur_ms AS BIGINT) AS dur_ms
+      FROM read_parquet('/tmp/dqc_clips_sf0.01{_TAG}.parquet')
+      WHERE dur_ms IS NOT NULL AND dur_ms > 0
+    ),
+    s AS (
+      SELECT clip_id, dur_ms,
+             unnest(generate_series(0, dur_ms - 1, 4500)) AS start_ms
+      FROM c
+    )
+    SELECT clip_id,
+           CAST(start_ms // 4500 AS INT) AS chunk_idx,
+           start_ms,
+           least(start_ms + 5000, dur_ms) AS end_ms
+    FROM s
+    WHERE start_ms = 0 OR least(start_ms + 5000, dur_ms) - start_ms >= 1000
+    """,
+)
+def q_audio_chunks(spark, sf_dir):
+    """Training-chunk planning (5 s chunks, 500 ms overlap, ≥1 s tail)
+    from clip metadata — operators/audio.chunk_plan: pure Catalyst
+    sequence+posexplode, whole-stage codegen, zero shuffle, no decode.
+    Oracle: the same arithmetic in DuckDB generate_series over the clips
+    fixture (a direct SQL oracle — no labeler needed)."""
+    from .operators.audio import chunk_plan
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    return chunk_plan(clips)
+
+
+@register(
+    "audio_resample_stats",
+    f"""
+    SELECT clip_id, out_sr, n_out, sum_abs
+    FROM read_parquet('/tmp/dqc_expected_resample_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_audio_resample_stats(spark, sf_dir):
+    """Sample-rate normalization to 16 kHz (rational-position linear
+    interpolation, integer-exact output stats) —
+    operators/audio.resample_clips projected to (clip_id, out_sr, n_out,
+    sum_abs); the resampled PCM itself is covered by the pytest SNR≥30dB
+    gate (test_audio_ops.py). Oracle: eager labeler fixture
+    (oracle/audio_oracle.label_resample_stats)."""
+    from .operators.audio import resample_clips
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    return resample_clips(clips).select("clip_id", "out_sr", "n_out", "sum_abs")
+
+
 @register("ann_lsh_topk", None)
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via deterministic multi-table hyperplane LSH,
@@ -1776,6 +1898,10 @@ def q_ann_ivf_topk(spark, sf_dir):
 # stage), so a cap drops redundant rows, never unique ones.
 _FIRST = [
     "ann_ivf_topk",
+    "audio_features",
+    "vad_segments",
+    "audio_chunks",
+    "audio_resample_stats",
     "summary_stats_categorical",
     "histogram_price",
     "quantiles_price_scalable",
@@ -1811,6 +1937,8 @@ def oracles() -> dict[str, str]:
     # they exist before any SQL runs (driver correctness runs at sf0.01).
     try:
         ensure_expected_fixtures("/root/testdata/sf0.01")
+        ensure_audio_fixtures("/root/testdata/sf0.01")
+        _clips_path("/root/testdata/sf0.01")  # audio_chunks SQL reads it
     except Exception:
         pass
     return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
