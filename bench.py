@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "vad_segments",
     "audio_chunks",
     "audio_resample_stats",
+    "audio_fingerprints",
+    "audio_neardup_pairs",
     "null_counts",
     "dup_full_rows",
     "quantiles_price",
@@ -214,12 +216,33 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         n = df.count()  # row count for reporting — outside the timed window
+        # DataFrame.persist() registers in the JVM CacheManager, whose
+        # entries outlive the Python objects — without this, every query's
+        # internal persist barrier accumulates in the one shared local JVM
+        # and later queries pay storage eviction they would never see on a
+        # per-job cluster. No cross-query reuse exists, so this is free.
+        spark.catalog.clearCache()
         timings[name] = round(dt, 3)
         total += dt
         if name == "clips_decisions":
             extras["clips"] = n
             extras["clips_per_sec"] = round(n / dt, 1)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    # Steady-state pass (VERDICT r1 bench hygiene): identical plans on the
+    # now-warm session, run IMMEDIATELY after the cold pass — before the
+    # recall/registry sections, whose streaming queries and collects age
+    # the session in ways a per-job cluster driver never sees. Splits
+    # session+UDF-worker warmup (first pass) from steady-state cost so
+    # round-over-round regressions are attributable to plans.
+    warm: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    detail: dict = {"queries_warm": warm}
+    extras["value_warm"] = round(sum(warm.values()), 3)
 
     # ANN recall, three regimes (VERDICT r2 item 4):
     #  * general/random: approx top-5 vs exact top-5 on the registry
@@ -273,18 +296,6 @@ def main():
     m = _registry_file_metric(spark, clips_path)
     if m is not None:
         extras["registry_max_bucket_files"] = m
-
-    # Steady-state pass (VERDICT r1 bench hygiene): identical plans on the
-    # now-warm session — splits session+UDF-worker warmup (first pass)
-    # from steady-state cost so round-over-round regressions are
-    # attributable to plans, not to JVM/Python startup noise.
-    warm: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.time() - t0, 3)
-    detail: dict = {"queries_warm": warm}
-    extras["value_warm"] = round(sum(warm.values()), 3)
 
     # per-query delta vs the latest PARSEABLE recorded round (cold pass)
     here = os.path.dirname(os.path.abspath(__file__))

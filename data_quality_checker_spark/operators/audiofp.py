@@ -1,0 +1,262 @@
+"""Content-level audio fingerprinting + near-duplicate pairing.
+
+The flagship pipeline's dedup tier (operators/dedup.py) is BYTE-level:
+SHA-1 over the encoded payload, which a 1-sample trim, a gain change, a
+resample, or a codec transcode all defeat. A 100 TB speech-training
+corpus needs CONTENT-level dedup on top of it — the audio analog of the
+text tier's MinHash/SimHash near-dup stack (operators/simdedup.py).
+
+Design: the Philips robust-hash family (Haitsma & Kalker, "A Highly
+Robust Audio Fingerprinting System", ISMIR 2002 — public):
+
+  1. normalize every clip to FP_SR (the corpus resampler spec,
+     operators/audio.resample_linear_i16);
+  2. Hann-windowed frames of FP_FRAME samples every FP_HOP;
+  3. per-frame energies in FP_N_BANDS log-spaced spectral bands
+     (FP_BAND_BINS pins the rfft bin edges as a SPEC constant);
+  4. one FP_N_BITS-bit sub-fingerprint per frame transition: bit b is
+     the sign of the time-derivative of the band-b energy difference —
+     sign(ΔE_b − ΔE_{b+1} of the previous frame). Signs survive gain
+     scaling exactly (energies scale by g², differences keep sign) and
+     resampling approximately (bands live at 300–2000 Hz, far below the
+     8 kHz whitelist Nyquist).
+
+Near-dup search then mirrors the text LSH shape, Spark-first:
+
+  * candidate generation: exact equi-join on 64-bit TOKENS (TOKEN_LEN
+    consecutive sub-fingerprints packed into one long — the Philips
+    lookup-table trick, reshaped as a shuffle-on-token join). Token
+    construction is pure Catalyst (transform/sequence over the
+    fingerprint array — no Python);
+  * verification: per candidate pair, bit-error-rate over the aligned
+    common prefix via zip_with + bit_count + aggregate (whole-stage
+    codegen; the fingerprint arrays are ~90 ints per clip, hundreds of
+    bytes — orders of magnitude lighter than shipping audio).
+
+Scale shape: fingerprinting is MAP-ONLY (one Arrow pass, no shuffle);
+pairing shuffles (clip_id, token) pairs — tens of bytes per token, ~1
+token per 32 ms of audio, and ``token_stride`` thins it losslessly-in-
+practice for 10^12-clip runs (any ONE shared token is enough to surface
+a candidate). Dup cliques fan out O(d²) candidate pairs exactly like the
+text LSH tier; the same collapsed-variant escape hatch applies
+(simdedup.minhash_verified_pairs_collapsed rationale).
+
+Cross-engine exactness: every float op in the sub-fingerprint spec is a
+fixed numpy primitive on bit-identical float64 inputs (np.hanning,
+np.fft.rfft, elementwise re²+im², np.add.reduceat segment sums), so two
+independent implementations (this module's vectorized one; the per-row
+eager one in oracle/audio_oracle.py) produce identical bits and the
+driver's DuckDB hash-compare is stable.
+
+Reference analog: duplicate detection, src/core/validator.py:161-178
+(pandas .duplicated over rows) — generalized here to binary payloads
+under content-preserving transforms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Spec constants (oracle/audio_oracle.py imports these — they ARE the
+# semantics under test, same policy as FRAME_MS / SILENCE_DBFS)
+
+FP_SR = 16_000          # fingerprints are computed at the corpus target rate
+FP_FRAME = 1024         # 64 ms analysis window at 16 kHz
+# 16 ms hop (87.5% overlap). Philips derives robustness from HIGH frame
+# overlap: consecutive sub-fingerprints are strongly correlated, so the
+# bit errors a content-preserving transform introduces cluster in weak
+# frames and stable token windows survive. Measured on in-band content
+# stored at half rate (BER≈0.05): hop=512 missed the candidate join for
+# 2 of 10 clips (zero shared exact tokens); hop=256 missed none.
+FP_HOP = 256
+FP_N_BANDS = 17         # spectral bands → FP_N_BITS adjacent differences
+FP_N_BITS = FP_N_BANDS - 1
+FP_FMIN_HZ = 300.0      # Philips band range: robust to playback chains
+FP_FMAX_HZ = 2000.0     # and far below the 8 kHz whitelist Nyquist
+
+# rfft bin edges for the FP_N_BANDS log-spaced bands, pinned as integers
+# so both engines share the exact segmentation (band b = bins
+# [FP_BAND_BINS[b], FP_BAND_BINS[b+1]) of the FP_FRAME-point rfft).
+FP_BAND_BINS: tuple[int, ...] = tuple(
+    int(round(f * FP_FRAME / FP_SR))
+    for f in np.geomspace(FP_FMIN_HZ, FP_FMAX_HZ, FP_N_BANDS + 1)
+)
+assert all(a < b for a, b in zip(FP_BAND_BINS, FP_BAND_BINS[1:]))
+
+TOKEN_LEN = 4           # sub-fingerprints per 64-bit candidate token
+
+# bumped on ANY change to the constants above or the sub-fingerprint /
+# token spec — expected-output fixture caches embed it (queries.py), so a
+# spec change orphans stale /tmp fixtures instead of poisoning them
+FP_SPEC_VERSION = 2
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("n_subfp", T.LongType(), True),
+        T.StructField("fp", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def clip_subfingerprints(x16: np.ndarray) -> np.ndarray:
+    """Sub-fingerprint sequence (int32, each FP_N_BITS bits; bit 0 =
+    lowest band pair) for ONE clip already at FP_SR. Vectorized across
+    frames; the oracle recomputes the same spec frame-by-frame."""
+    n = len(x16)
+    if n < FP_FRAME + FP_HOP:  # need ≥2 frames for one transition
+        return np.zeros(0, dtype=np.int32)
+    n_frames = (n - FP_FRAME) // FP_HOP + 1
+    idx = np.arange(FP_FRAME)[None, :] + (np.arange(n_frames) * FP_HOP)[:, None]
+    fr = x16[idx].astype(np.float64) * np.hanning(FP_FRAME)[None, :]
+    X = np.fft.rfft(fr, axis=1)
+    p = X.real * X.real + X.imag * X.imag
+    # np.add.reduceat: sequential segment sums — the pinned spec primitive
+    # (slice .sum() would use pairwise summation and can differ in the
+    # last ulp, flipping boundary bits between engines)
+    E = np.add.reduceat(p, np.array(FP_BAND_BINS), axis=1)[:, :FP_N_BANDS]
+    D = E[:, :-1] - E[:, 1:]            # adjacent-band energy differences
+    dd = D[1:] - D[:-1]                 # their time derivative
+    bits = (dd > 0.0).astype(np.int64)
+    weights = (1 << np.arange(FP_N_BITS, dtype=np.int64))[None, :]
+    return (bits * weights).sum(axis=1).astype(np.int32)
+
+
+def _fp_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    from .audio import _decode_iter, resample_linear_i16
+
+    @pandas_udf(FINGERPRINT_SCHEMA)
+    def fp(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+        rows = []
+        for decoded in _decode_iter(payload, codec, sr_hz):
+            if decoded is None:
+                rows.append({"n_subfp": None, "fp": None})
+                continue
+            x, sr = decoded
+            x16 = x if sr == FP_SR else resample_linear_i16(x, sr, FP_SR)
+            s = clip_subfingerprints(x16)
+            rows.append({"n_subfp": len(s), "fp": s.tolist()})
+        df = pd.DataFrame(rows, columns=["n_subfp", "fp"])
+        df["n_subfp"] = df["n_subfp"].astype("Int64")
+        return df
+
+    return fp
+
+
+def audio_fingerprints(clips: DataFrame) -> DataFrame:
+    """→ (clip_id, n_subfp, fp: array<int>): the robust content
+    fingerprint per clip. One map-only Arrow-batched scan (decode +
+    resample + FFT inside the batch), no shuffle; undecodable clips keep
+    a null row. Clips shorter than FP_FRAME+FP_HOP samples at FP_SR
+    (<96 ms) get an empty fingerprint — sub-second exact dups are
+    already covered by the SHA tier."""
+    f = _fp_udf()(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    return clips.select("clip_id", f.alias("f")).select("clip_id", "f.*")
+
+
+def _token_expr(token_stride: int) -> F.Column:
+    """Catalyst-only token construction: every ``token_stride``-th window
+    of TOKEN_LEN consecutive sub-fingerprints packed into one BIGINT
+    (16 bits each). DEGENERATE windows — all TOKEN_LEN sub-fingerprints
+    identical, the signature of digital silence or constant tone — are
+    dropped: they carry no discriminative content and at corpus scale one
+    silent stretch would otherwise bucket millions of clips onto a single
+    hot token. element_at is 1-based."""
+    same = " AND ".join(
+        f"element_at(fp, p + {q}) = element_at(fp, p + {q + 1})"
+        for q in range(1, TOKEN_LEN)
+    )
+    pack = " + ".join(
+        f"shiftleft(cast(element_at(fp, p + {q + 1}) AS bigint), {16 * (TOKEN_LEN - 1 - q)})"
+        for q in range(TOKEN_LEN)
+    )
+    return F.expr(
+        f"""
+        transform(
+          filter(
+            sequence(0, size(fp) - {TOKEN_LEN}, {token_stride}),
+            p -> NOT ({same})
+          ),
+          p -> {pack}
+        )
+        """
+    )
+
+
+def fingerprint_candidate_pairs(
+    fps: DataFrame, token_stride: int = 1
+) -> DataFrame:
+    """→ (clip_a, clip_b) distinct candidate pairs: clips sharing at
+    least one token. The join key is the token VALUE itself — an exact
+    equi-join (shuffle on token), never a similarity join; this is the
+    Philips lookup table reshaped for Spark. ``token_stride`` > 1 thins
+    probe-side tokens for web-scale runs (one shared token suffices)."""
+    toks = (
+        fps.where(F.col("n_subfp") >= TOKEN_LEN)
+        .select("clip_id", F.explode(_token_expr(token_stride)).alias("token"))
+        .distinct()
+    )
+    a = toks.select(F.col("clip_id").alias("clip_a"), "token")
+    b = toks.select(F.col("clip_id").alias("clip_b"), "token")
+    return (
+        a.join(b, "token")
+        .where(F.col("clip_a") < F.col("clip_b"))
+        .select("clip_a", "clip_b")
+        .distinct()
+    )
+
+
+def fingerprint_neardup_pairs(
+    clips: DataFrame,
+    max_ber: float = 0.25,
+    token_stride: int = 1,
+) -> DataFrame:
+    """→ (clip_a, clip_b, n_overlap, ber): content near-duplicate pairs —
+    candidates by shared token, verified by bit-error-rate over the
+    aligned common prefix (full-clip transforms keep offset 0; Philips'
+    published decision threshold for a 3 s block is BER < 0.35, we
+    default stricter). All verification math is whole-stage codegen:
+    zip_with + bit_count + aggregate over ~90-int arrays.
+
+    The fingerprint frame is persisted: three consumers (token side a,
+    token side b, verify join) would otherwise re-run the decode+FFT scan
+    — the cache is (clip_id, ~90 ints), cacheable at any corpus scale.
+    Callers batching many operators in one session should clearCache()
+    between jobs (see bench.py)."""
+    fps = audio_fingerprints(clips).where(F.col("fp").isNotNull())
+    fps = fps.persist()
+    fps.count()
+    cand = fingerprint_candidate_pairs(fps, token_stride)
+    a = fps.select(
+        F.col("clip_id").alias("clip_a"),
+        F.col("fp").alias("fp_a"),
+        F.col("n_subfp").alias("n_a"),
+    )
+    b = fps.select(
+        F.col("clip_id").alias("clip_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("n_subfp").alias("n_b"),
+    )
+    bits_diff = F.expr(
+        "aggregate(zip_with(fp_a, fp_b, (x, y) -> bit_count(x ^ y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    out = (
+        cand.join(a, "clip_a")
+        .join(b, "clip_b")
+        .withColumn("n_overlap", F.least("n_a", "n_b"))
+        # no rounding: one IEEE float64 division of two exact ints is
+        # bit-identical across engines (round() half-modes are not)
+        .withColumn(
+            "ber", bits_diff / (F.lit(float(FP_N_BITS)) * F.col("n_overlap"))
+        )
+        .where(F.col("ber") <= max_ber)
+        .select("clip_a", "clip_b", "n_overlap", "ber")
+    )
+    return out

@@ -165,3 +165,142 @@ def label_resample_stats(clips: pd.DataFrame, sr_out: int = RESAMPLE_SR) -> pd.D
     df["n_out"] = df["n_out"].astype("Int64")
     df["sum_abs"] = df["sum_abs"].astype("Int64")
     return df
+
+
+# ---------------------------------------------------------------------------
+# Content-fingerprint tier (operators/audiofp.py) — eager per-row second
+# implementation of the Philips-style robust-hash spec. Only the SPEC
+# constants are imported; the framing / FFT / banding / bit logic below is
+# written frame-by-frame, independent of the operator's vectorized path.
+
+from ..operators.audiofp import (  # noqa: E402  (spec constants only)
+    FP_BAND_BINS,
+    FP_FRAME,
+    FP_HOP,
+    FP_N_BANDS,
+    FP_N_BITS,
+    FP_SR,
+    TOKEN_LEN,
+)
+
+
+def _resample_to_fp_sr(x: np.ndarray, sr: int) -> np.ndarray:
+    """Rational-position linear resample to FP_SR (the corpus resampler
+    spec, recomputed here sample-by-sample)."""
+    if sr == FP_SR:
+        return x
+    m = len(x)
+    if m == 0 or sr <= 0:
+        return np.zeros(0, dtype=np.int16)
+    n_out = (m * FP_SR) // sr
+    idx = np.arange(n_out, dtype=np.int64)
+    p_num = idx * sr
+    pos = np.minimum(p_num // FP_SR, m - 1)
+    nxt = np.minimum(pos + 1, m - 1)
+    rem = p_num - (p_num // FP_SR) * FP_SR
+    xf = x.astype(np.float64)
+    y = xf[pos] + (xf[nxt] - xf[pos]) * (rem.astype(np.float64) / FP_SR)
+    return np.rint(y).astype(np.int16)
+
+
+def _subfps_for_clip(x16: np.ndarray) -> list[int]:
+    """Sub-fingerprints for one clip at FP_SR, frame-by-frame (the
+    operator vectorizes across frames; the spec primitives — np.hanning,
+    np.fft.rfft, elementwise power, np.add.reduceat — are identical)."""
+    n = len(x16)
+    if n < FP_FRAME + FP_HOP:
+        return []
+    window = np.hanning(FP_FRAME)
+    edges = np.array(FP_BAND_BINS)
+    prev_d = None
+    subfps: list[int] = []
+    start = 0
+    while start + FP_FRAME <= n:
+        fr = x16[start : start + FP_FRAME].astype(np.float64) * window
+        X = np.fft.rfft(fr)
+        p = X.real * X.real + X.imag * X.imag
+        E = np.add.reduceat(p, edges)[:FP_N_BANDS]
+        d = [E[b] - E[b + 1] for b in range(FP_N_BITS)]
+        if prev_d is not None:
+            code = 0
+            for b in range(FP_N_BITS):
+                if d[b] - prev_d[b] > 0.0:
+                    code |= 1 << b
+            subfps.append(code)
+        prev_d = d
+        start += FP_HOP
+    return subfps
+
+
+def _decoded_or_none(r) -> tuple[np.ndarray, int] | None:
+    if r.bytes is None or (isinstance(r.bytes, float) and pd.isna(r.bytes)):
+        return None
+    sr_arg = None if pd.isna(r.sr_hz) else int(r.sr_hz)
+    return decode_clip_i16(bytes(r.bytes), r.codec, sr_arg)
+
+
+def label_audio_fingerprints(clips: pd.DataFrame) -> pd.DataFrame:
+    """Expected (clip_id, n_subfp, fp_str) — fp_str is the comma-joined
+    sub-fingerprint sequence (arrays are unhashable in the driver's
+    pandas canonicalizer; the string is a stable scalar encoding).
+    Undecodable clips → null n_subfp/fp_str."""
+    rows = []
+    for r in clips.itertuples():
+        out = {"clip_id": r.clip_id, "n_subfp": None, "fp_str": None}
+        decoded = _decoded_or_none(r)
+        if decoded is not None:
+            x, sr = decoded
+            subfps = _subfps_for_clip(_resample_to_fp_sr(x, sr))
+            out["n_subfp"] = len(subfps)
+            out["fp_str"] = ",".join(str(s) for s in subfps)
+        rows.append(out)
+    df = pd.DataFrame(rows, columns=["clip_id", "n_subfp", "fp_str"])
+    df["n_subfp"] = df["n_subfp"].astype("Int64")
+    return df
+
+
+def label_fingerprint_pairs(
+    clips: pd.DataFrame, max_ber: float = 0.25
+) -> pd.DataFrame:
+    """Expected (clip_a, clip_b, n_overlap, ber): shared-token candidate
+    pairs verified by bit-error-rate over the aligned common prefix —
+    dict-of-token index + python popcount loops (the operator uses a
+    Spark equi-join + codegen bit_count)."""
+    fps: dict[str, list[int]] = {}
+    for r in clips.itertuples():
+        decoded = _decoded_or_none(r)
+        if decoded is None:
+            continue
+        x, sr = decoded
+        subfps = _subfps_for_clip(_resample_to_fp_sr(x, sr))
+        if subfps:
+            fps[r.clip_id] = subfps
+    token_index: dict[int, set[str]] = {}
+    for cid, subfps in fps.items():
+        for p in range(len(subfps) - TOKEN_LEN + 1):
+            window = subfps[p : p + TOKEN_LEN]
+            if len(set(window)) == 1:  # degenerate (silence/constant) window
+                continue
+            token = 0
+            for q in range(TOKEN_LEN):
+                token = (token << 16) | window[q]
+            token_index.setdefault(token, set()).add(cid)
+    pairs: set[tuple[str, str]] = set()
+    for cids in token_index.values():
+        ordered = sorted(cids)
+        for i in range(len(ordered)):
+            for j in range(i + 1, len(ordered)):
+                pairs.add((ordered[i], ordered[j]))
+    rows = []
+    for ca, cb in sorted(pairs):
+        fa, fb = fps[ca], fps[cb]
+        n_overlap = min(len(fa), len(fb))
+        bits = sum(bin(fa[k] ^ fb[k]).count("1") for k in range(n_overlap))
+        # one IEEE float64 division of exact ints — bit-identical to the
+        # Spark side's division, no rounding needed
+        ber = bits / (FP_N_BITS * n_overlap)
+        if ber <= max_ber:
+            rows.append((ca, cb, n_overlap, ber))
+    df = pd.DataFrame(rows, columns=["clip_a", "clip_b", "n_overlap", "ber"])
+    df["n_overlap"] = df["n_overlap"].astype("int64")
+    return df

@@ -1603,6 +1603,11 @@ from .corpus.generator import FIXTURE_VERSION as _GEN_V
 # bumps FIXTURE_VERSION and orphans any stale /tmp fixture automatically
 _TAG = "" if _GEN_V == 1 else f"_v{_GEN_V}"
 
+from .operators.audiofp import FP_SPEC_VERSION as _FP_SPEC_V
+
+# fingerprint fixtures additionally embed the fingerprint SPEC version
+_FP_V = f"s{_FP_SPEC_V}"
+
 
 def _sf_of(sf_dir: str) -> tuple[str, float]:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -1743,6 +1748,8 @@ def ensure_audio_fixtures(sf_dir: str) -> dict[str, str]:
         "features": f"/tmp/dqc_expected_audio_{base}{_TAG}.parquet",
         "segments": f"/tmp/dqc_expected_segments_{base}{_TAG}.parquet",
         "resample": f"/tmp/dqc_expected_resample_{base}{_TAG}.parquet",
+        "fingerprints": f"/tmp/dqc_expected_fp{_FP_V}_{base}{_TAG}.parquet",
+        "fp_pairs": f"/tmp/dqc_expected_fppairs{_FP_V}_{base}{_TAG}.parquet",
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -1755,6 +1762,8 @@ def ensure_audio_fixtures(sf_dir: str) -> dict[str, str]:
         "features": audio_oracle.label_audio_features(clips),
         "segments": audio_oracle.label_vad_segments(clips),
         "resample": audio_oracle.label_resample_stats(clips),
+        "fingerprints": audio_oracle.label_audio_fingerprints(clips),
+        "fp_pairs": audio_oracle.label_fingerprint_pairs(clips),
     }
     for k, pdf in outs.items():
         tmp = f"{paths[k]}.tmp.{os.getpid()}"
@@ -1853,6 +1862,96 @@ def q_audio_resample_stats(spark, sf_dir):
     return resample_clips(clips).select("clip_id", "out_sr", "n_out", "sum_abs")
 
 
+@register(
+    "audio_fingerprints",
+    f"""
+    SELECT clip_id, n_subfp, fp_str
+    FROM read_parquet('/tmp/dqc_expected_fp{_FP_V}_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_audio_fingerprints(spark, sf_dir):
+    """Robust content fingerprint per clip (Philips/Haitsma-Kalker-style
+    band-energy sign hash at the normalized 16 kHz) —
+    operators/audiofp.audio_fingerprints: one map-only Arrow scan
+    (decode + resample + FFT per batch), no shuffle. The array is
+    comma-joined to a stable scalar for the driver's pandas
+    canonicalizer (same policy as rules_fired). Oracle: eager per-frame
+    labeler fixture (oracle/audio_oracle.label_audio_fingerprints) —
+    the spec pins every float primitive, so the bits are identical."""
+    from .operators.audiofp import audio_fingerprints
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    fps = audio_fingerprints(clips)
+    return fps.select(
+        "clip_id",
+        "n_subfp",
+        F.when(
+            F.col("fp").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(",", F.col("fp"))).alias("fp_str"),
+    )
+
+
+@register(
+    "audio_neardup_pairs",
+    f"""
+    SELECT clip_a, clip_b, n_overlap, ber
+    FROM read_parquet('/tmp/dqc_expected_fppairs{_FP_V}_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_audio_neardup_pairs(spark, sf_dir):
+    """CONTENT-level audio near-duplicate pairs: shared-token candidate
+    equi-join + bit-error-rate verification over the fingerprint arrays
+    — operators/audiofp.fingerprint_neardup_pairs (the audio analog of
+    the text MinHash-LSH→verify stack; catches gain-scaled / transcoded
+    / resampled copies that byte-SHA dedup cannot). Oracle: eager
+    dict-indexed labeler fixture
+    (oracle/audio_oracle.label_fingerprint_pairs)."""
+    from .operators.audiofp import fingerprint_neardup_pairs
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    return fingerprint_neardup_pairs(clips)
+
+
+@register(
+    "audio_neardup_clusters",
+    f"""
+    WITH RECURSIVE
+    vp AS (SELECT clip_a, clip_b
+           FROM read_parquet('/tmp/dqc_expected_fppairs{_FP_V}_sf0.01{_TAG}.parquet')),
+    nodes AS (SELECT clip_a AS clip_id FROM vp UNION SELECT clip_b FROM vp),
+    edges AS (SELECT clip_a AS u, clip_b AS v FROM vp
+              UNION ALL SELECT clip_b, clip_a FROM vp),
+    walk(clip_id, label) AS (
+        SELECT clip_id, clip_id FROM nodes
+      UNION
+        SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.clip_id
+    )
+    SELECT clip_id, min(label) AS cluster_id,
+           (clip_id != min(label)) AS is_dup
+    FROM walk GROUP BY clip_id
+    """,
+)
+def q_audio_neardup_clusters(spark, sf_dir):
+    """Content near-dup CLUSTERS over the audio corpus: connected
+    components of the verified fingerprint-pair graph (reuses
+    operators/simdedup.neardup_components — min-label propagation), so
+    corpus dedup keeps one clip per content clique (keeper = min clip_id)
+    even when A≈B≈C arrive via different transforms. Oracle: recursive
+    transitive-closure CTE over the fingerprint-pairs fixture."""
+    from .operators.audiofp import fingerprint_neardup_pairs
+    from .operators.simdedup import neardup_components
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    pairs = fingerprint_neardup_pairs(clips).select(
+        F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b")
+    )
+    return neardup_components(pairs).select(
+        F.col("doc_id").alias("clip_id"),
+        F.col("cluster_id"),
+        "is_dup",
+    )
+
+
 @register("ann_lsh_topk", None)
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via deterministic multi-table hyperplane LSH,
@@ -1898,6 +1997,9 @@ def q_ann_ivf_topk(spark, sf_dir):
 # stage), so a cap drops redundant rows, never unique ones.
 _FIRST = [
     "ann_ivf_topk",
+    "audio_fingerprints",
+    "audio_neardup_pairs",
+    "audio_neardup_clusters",
     "audio_features",
     "vad_segments",
     "audio_chunks",

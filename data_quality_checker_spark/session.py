@@ -80,6 +80,13 @@ def get_spark(
         # incremental.process_and_write)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
+        # Generated-class cache (default 100 entries): an operator-suite
+        # session compiles hundreds of codegen units, and eviction makes a
+        # RE-run of a complex plan pay multi-second janino recompilation —
+        # measured: minhash_verified_pairs warm-after-30-queries 10.9 s vs
+        # 7.9 s truly-warm, purely compile time. Cached classes are small;
+        # 2000 entries is noise against the driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

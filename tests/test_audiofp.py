@@ -1,0 +1,179 @@
+"""Content-fingerprint tier (operators/audiofp.py): spec-level
+robustness on constructed PCM (gain exactness, resample tolerance on
+in-band content, unrelated separation), full corpus parity vs the
+independent eager labeler, end-to-end near-dup pairing, and plan-shape
+guards (map-only fingerprinting; equi-join-only pairing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_checker_spark.corpus.audio import encode_wav
+from data_quality_checker_spark.operators import audiofp as FP
+from data_quality_checker_spark.operators.audio import resample_linear_i16
+from data_quality_checker_spark.oracle import audio_oracle as O
+
+
+def _speechlike(seed: int, secs: float = 2.0, sr: int = FP.FP_SR) -> np.ndarray:
+    """Harmonic, AM-modulated signal with energy across the fingerprint
+    band range (300-2000 Hz) — the structure real speech has. Float in
+    [-1, 1]."""
+    r = np.random.default_rng(seed)
+    t = np.arange(int(sr * secs)) / sr
+    f0t = 150.0 * (1 + 0.08 * np.sin(2 * np.pi * r.uniform(0.3, 0.8) * t))
+    phase = 2 * np.pi * np.cumsum(f0t) / sr
+    sig = sum(
+        r.uniform(0.3, 1.0) / h * np.sin(h * phase + r.uniform(0, 6))
+        for h in range(1, 13)
+    )
+    sig *= 0.55 + 0.45 * np.sin(2 * np.pi * r.uniform(2, 5) * t + r.uniform(0, 6))
+    sig += 0.02 * r.standard_normal(len(t))
+    return sig / np.abs(sig).max() * 0.8
+
+
+def _i16(sig: np.ndarray) -> np.ndarray:
+    return np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
+
+
+def _ber(f1, f2) -> float:
+    n = min(len(f1), len(f2))
+    assert n > 0
+    return sum(bin(int(f1[k]) ^ int(f2[k])).count("1") for k in range(n)) / (
+        FP.FP_N_BITS * n
+    )
+
+
+def _tokens(f) -> set:
+    return {
+        tuple(int(v) for v in f[p : p + FP.TOKEN_LEN])
+        for p in range(len(f) - FP.TOKEN_LEN + 1)
+    }
+
+
+# ---------------------------------------------------------------------------
+# spec-level robustness (numpy, no Spark)
+
+
+def test_subfp_gain_near_invariant():
+    x = _i16(_speechlike(0))
+    fa = FP.clip_subfingerprints(x)
+    fg = FP.clip_subfingerprints(np.rint(x * 0.6).astype(np.int16))
+    assert len(fa) > FP.TOKEN_LEN
+    # energies scale by g² exactly; only int16 rounding noise can flip bits
+    assert _ber(fa, fg) < 0.02
+    assert len(_tokens(fa) & _tokens(fg)) >= len(_tokens(fa)) // 2
+
+
+def test_subfp_resample_robust_inband():
+    x = _i16(_speechlike(1, secs=3.0))
+    fa = FP.clip_subfingerprints(x)
+    # stored at 8 kHz, fingerprint path upsamples back to FP_SR
+    x8 = resample_linear_i16(x, FP.FP_SR, 8000)
+    fh = FP.clip_subfingerprints(resample_linear_i16(x8, 8000, FP.FP_SR))
+    assert _ber(fa, fh) < 0.15  # Philips near-dup threshold is 0.35
+    assert len(_tokens(fa) & _tokens(fh)) > 0  # candidate join will fire
+
+
+def test_subfp_unrelated_separation():
+    fa = FP.clip_subfingerprints(_i16(_speechlike(2)))
+    fb = FP.clip_subfingerprints(_i16(_speechlike(3)))
+    assert _ber(fa, fb) > 0.3
+    assert not (_tokens(fa) & _tokens(fb))
+
+
+def test_subfp_short_clip_empty():
+    assert len(FP.clip_subfingerprints(np.zeros(100, dtype=np.int16))) == 0
+    n = FP.FP_FRAME + FP.FP_HOP
+    assert len(FP.clip_subfingerprints(np.ones(n, dtype=np.int16))) == 1
+
+
+# ---------------------------------------------------------------------------
+# Spark operator vs independent eager labeler — full corpus parity
+
+
+def test_fingerprints_spark_parity_corpus(spark, clips_pdf, clips_df):
+    pdf = clips_pdf.drop(columns=["defect"])
+    s = (
+        FP.audio_fingerprints(clips_df)
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    o = O.label_audio_fingerprints(pdf).sort_values("clip_id").reset_index(drop=True)
+    assert len(s) == len(o) == len(pdf)
+    assert s["clip_id"].tolist() == o["clip_id"].tolist()
+    s_str = s["fp"].map(
+        lambda v: None if v is None else ",".join(str(int(x)) for x in v)
+    )
+    assert s_str.tolist() == o["fp_str"].tolist()
+    assert (
+        s["n_subfp"].astype("object").where(s["n_subfp"].notna(), None).tolist()
+        == o["n_subfp"].astype("object").where(o["n_subfp"].notna(), None).tolist()
+    )
+
+
+def test_neardup_pairs_end_to_end(spark, clips_pdf):
+    sr = FP.FP_SR
+    base = _speechlike(10, secs=2.5)
+    x = _i16(base)
+    rows = [
+        ("orig", encode_wav(base, sr), sr, 2500, "wav", "t"),
+        # gain-scaled copy: BER ≈ 0 → pair
+        ("gain", encode_wav(base * 0.6, sr), sr, 2500, "wav", "t"),
+        # stored at half rate: in-band content survives → pair
+        (
+            "half",
+            encode_wav(
+                resample_linear_i16(x, sr, 8000).astype(np.float64) / 32767.0, 8000
+            ),
+            8000,
+            2500,
+            "wav",
+            "t",
+        ),
+        ("other", encode_wav(_speechlike(11, secs=2.5), sr), sr, 2500, "wav", "t"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    )
+    df = spark.createDataFrame(
+        pdf,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    got = {
+        (r.clip_a, r.clip_b): r.ber
+        for r in FP.fingerprint_neardup_pairs(df).collect()
+    }
+    assert ("gain", "orig") in got and got[("gain", "orig")] < 0.02
+    assert ("half", "orig") in got and got[("half", "orig")] < 0.15
+    assert all("other" not in pair for pair in got)
+    # exact agreement with the independent labeler on the same frame
+    o = O.label_fingerprint_pairs(pdf)
+    o_pairs = {(r.clip_a, r.clip_b): r.ber for r in o.itertuples()}
+    assert got == o_pairs
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+
+
+def test_fingerprint_plan_map_only(clips_df):
+    plan = (
+        FP.audio_fingerprints(clips_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, f"fingerprinting shuffles:\n{plan}"
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_neardup_pairs_plan_equijoin_only(clips_df):
+    df = FP.fingerprint_neardup_pairs(clips_df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # hygiene: the operator persists its internal fingerprint frame
+    clips_df.sparkSession.catalog.clearCache()
