@@ -243,8 +243,15 @@ def fingerprint_neardup_pairs(
         F.col("fp").alias("fp_b"),
         F.col("n_subfp").alias("n_b"),
     )
+    # Slice BOTH arrays to the common prefix before zip_with: zip_with
+    # pads the shorter array with nulls, so on unequal-length pairs
+    # (trimmed/resampled variants differing by a frame) the XOR would
+    # yield a NULL ber and the WHERE would silently drop a true near-dup
+    # the prefix-BER definition keeps.
     bits_diff = F.expr(
-        "aggregate(zip_with(fp_a, fp_b, (x, y) -> bit_count(x ^ y)), "
+        "aggregate(zip_with("
+        "slice(fp_a, 1, least(n_a, n_b)), slice(fp_b, 1, least(n_a, n_b)), "
+        "(x, y) -> bit_count(x ^ y)), "
         "0L, (acc, v) -> acc + v)"
     )
     out = (

@@ -133,6 +133,10 @@ def test_neardup_pairs_end_to_end(spark, clips_pdf):
             "wav",
             "t",
         ),
+        # prefix of orig, ~0.4 s shorter: FEWER sub-fingerprints, so the
+        # BER must be computed over the common prefix (zip_with on the
+        # raw arrays would null-pad and silently drop this true pair)
+        ("trim", encode_wav(base[: int(sr * 2.1)], sr), sr, 2100, "wav", "t"),
         ("other", encode_wav(_speechlike(11, secs=2.5), sr), sr, 2500, "wav", "t"),
     ]
     pdf = pd.DataFrame(
@@ -148,6 +152,7 @@ def test_neardup_pairs_end_to_end(spark, clips_pdf):
     }
     assert ("gain", "orig") in got and got[("gain", "orig")] < 0.02
     assert ("half", "orig") in got and got[("half", "orig")] < 0.15
+    assert ("orig", "trim") in got and got[("orig", "trim")] < 0.02
     assert all("other" not in pair for pair in got)
     # exact agreement with the independent labeler on the same frame
     o = O.label_fingerprint_pairs(pdf)
