@@ -87,6 +87,17 @@ def get_spark(
         # 7.9 s truly-warm, purely compile time. Cached classes are small;
         # 2000 entries is noise against the driver heap.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # ContextCleaner only reclaims dead shuffle files, broadcasts and
+        # localCheckpoint blocks after a DRIVER GC processes their weak
+        # refs; Spark's backstop System.gc() defaults to every 30 min,
+        # sized for multi-hour batch drivers. An operator-suite session
+        # (bench, tests, notebook) runs dozens of jobs in minutes, and the
+        # backlog of dead blocks measurably degrades later jobs (observed
+        # 4-5x on this suite: a query stable at ~4.5 s regressed to 19-25 s
+        # after an iterative-localCheckpoint operator ran, and one explicit
+        # System.gc() restored it). One minute keeps the cleaner current
+        # at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,102 @@
+"""Bucketed-table layout: the co-located-join contract (run/layout.py).
+
+Proves — against the EXECUTED plan, not prose — that two tables written
+with the same (key, N) bucket spec join with zero Exchange and zero
+per-partition Sort: the physical contract the Iceberg
+``bucket(N, clip_id)`` DDL (run/ddl.py) promises at production scale.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.run.layout import cobucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("bucketed_wh").as_posix()
+    left = spark.range(0, 5000).select(
+        F.format_string("clip_%08d", F.col("id")).alias("clip_id"),
+        (F.col("id") % 2 == 0).alias("keep"),
+    )
+    right = spark.range(0, 5000).select(
+        F.format_string("clip_%08d", F.col("id")).alias("clip_id"),
+        (F.col("id") % 97).alias("severity_code"),
+    )
+    lt = write_bucketed(left, "decisions_b", n_buckets=8, database="dqc_test_layout", location=loc)
+    rt = write_bucketed(right, "findings_b", n_buckets=8, database="dqc_test_layout", location=loc)
+    yield lt, rt
+    spark.sql("DROP TABLE IF EXISTS dqc_test_layout.decisions_b")
+    spark.sql("DROP TABLE IF EXISTS dqc_test_layout.findings_b")
+    spark.sql("DROP DATABASE IF EXISTS dqc_test_layout")
+
+
+def test_cobucketed_join_no_exchange_no_sort(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, lt, rt)
+        assert joined.count() == 5000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the whole point: co-located buckets, sorted files — neither an
+        # Exchange nor a Sort anywhere in the executed join plan
+        assert "Exchange" not in plan, plan
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unbucketed_baseline_shuffles(spark, bucketed_tables):
+    """Control: the SAME join over plain (unbucketed) frames must shuffle —
+    guards against the no-Exchange assertion passing vacuously (e.g. AQE
+    folding everything into one partition)."""
+    lt, rt = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table(lt).repartition(8)  # strip the bucket spec
+        b = spark.table(rt).repartition(8)
+        plan = (
+            a.join(b, "clip_id")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    got = collections.Counter(
+        (r.clip_id, r.keep, r.severity_code)
+        for r in cobucketed_join(spark, lt, rt).collect()
+    )
+    want = collections.Counter(
+        (r.clip_id, r.keep, r.severity_code)
+        for r in spark.table(lt).join(spark.table(rt).hint("shuffle_hash"), "clip_id").collect()
+    )
+    assert got == want
+
+
+def test_one_file_per_bucket(spark, bucketed_tables):
+    """The bucketBy small-files trap is handled: the pre-repartition makes
+    each task own exactly one bucket, so N buckets → N data files."""
+    lt, _ = bucketed_tables
+    files = [
+        r.asDict() for r in spark.sql(f"DESCRIBE TABLE EXTENDED {lt}").collect()
+    ]
+    loc = next(r["data_type"] for r in files if r["col_name"] == "Location")
+    import glob
+    import os
+
+    data_files = [
+        f
+        for f in glob.glob(os.path.join(loc.removeprefix("file:"), "*"))
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+    assert len(data_files) == 8, sorted(data_files)
