@@ -67,6 +67,8 @@ BENCH_QUERIES = [
 # everything else lives only in BENCH/bench_detail.json. Ordered by how
 # willing we are to DROP them if the line nears the tail window.
 LINE_EXTRAS = [
+    "cpu_calib_1t_sec",
+    "cpu_calib_mt_sec",
     "session_warmup_sec",
     "clips",
     "clips_per_sec",
@@ -83,6 +85,38 @@ LINE_EXTRAS = [
     "registry_max_bucket_files",
 ]
 MAX_LINE_BYTES = 1900
+
+
+def _cpu_calibration(spark, cpus: int) -> tuple[float, float]:
+    """Fixed-size host-speed yardstick, reported so cross-round deltas can
+    be normalized for host noise (this sandbox's identical single-thread
+    workload was measured swinging 1.0-1.7 s between runs, 32-way 3.6-7.7 s
+    — bigger than most real query deltas).
+
+    1t: one executor task sorting + summing a seeded 4M-element array.
+    mt: the SAME task replicated once per core, so the ratio mt/1t exposes
+    memory-bandwidth / scheduler contention at the bench's parallelism.
+    Both run through Spark (mapInPandas) so they measure the same path the
+    queries use, not a bare-python proxy.
+    """
+    import pandas as pd
+
+    def work(it):
+        import numpy as np
+
+        for pdf in it:
+            rng = np.random.default_rng(42)
+            a = rng.random(4_000_000)
+            yield pd.DataFrame({"x": [float(np.sort(a).sum())]})
+
+    def run(n: int) -> float:
+        df = spark.range(0, n, 1, n).mapInPandas(work, "x double")
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    run(1)  # untimed: pay any residual worker fork/import once
+    return run(1), run(int(cpus))
 
 
 def _latest_parsed_prev(here: str) -> tuple[str, dict] | None:
@@ -204,8 +238,16 @@ def main():
     ).mode("overwrite").save()
     session_warmup = round(time.time() - t0, 3)
 
+    calib_1t, calib_mt = _cpu_calibration(
+        spark, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+
     timings: dict[str, float] = {}
-    extras: dict = {"session_warmup_sec": session_warmup}
+    extras: dict = {
+        "session_warmup_sec": session_warmup,
+        "cpu_calib_1t_sec": calib_1t,
+        "cpu_calib_mt_sec": calib_mt,
+    }
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]

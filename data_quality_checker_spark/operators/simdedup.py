@@ -479,24 +479,40 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check without a join: the round's aggregation carries
+    # each node's OLD label alongside the new min (the old label is the
+    # one row in the union coming from `labels` itself — min over a
+    # column that is null on neighbor rows recovers it), so "did
+    # anything change" is a limit(1) scan of the just-checkpointed
+    # frame. The previous formulation joined new-vs-old labels per round
+    # — a full extra shuffle of the label frame at corpus scale. Works
+    # for any orderable id type (doc ids here are longs, clip ids are
+    # strings).
+    label_t = labels.schema["label"].dataType
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "v"), "v"
-        ).select(F.col("u").alias("doc_id"), "label")
+        ).select(
+            F.col("u").alias("doc_id"),
+            "label",
+            F.lit(None).cast(label_t).alias("own_label"),
+        )
+        own = labels.select(
+            "doc_id", "label", F.col("label").alias("own_label")
+        )
         new = (
-            labels.unionByName(nbr)
+            own.unionByName(nbr)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("own_label").alias("own_label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new.where(F.col("label") != F.col("own_label")).limit(1).count()
         )
-        labels = new
+        labels = new.drop("own_label")
         if changed == 0:
             break
     edges.unpersist()

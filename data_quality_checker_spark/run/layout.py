@@ -27,7 +27,11 @@ registry's sbkt layout, streaming/incremental.py).
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -80,3 +84,46 @@ def cobucketed_join(
     tables)."""
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def publish_bucketed_run(
+    spark: SparkSession,
+    output: str,
+    run_id: str,
+    n_buckets: int = 32,
+    database: str = "dqc_marts",
+    location: str | None = None,
+) -> tuple[str, str]:
+    """Publish a completed ``run/job.py`` run's decisions + findings as
+    co-bucketed catalog tables keyed by ``clip_id``; returns the two
+    table names.
+
+    The job's raw output is path-partitioned by LINEAGE bucket
+    (``pmod(xxhash64(clip_id), n_lineage_buckets)``) — the right layout
+    for resume, the wrong one for consumers: every downstream
+    decisions ⋈ findings (audits, report builds, re-score diffs) would
+    re-shuffle both sides on clip_id each time. Publishing once through
+    ``write_bucketed`` pays that shuffle a single time; all subsequent
+    joins between the pair (or against any other clip_id-bucketed table
+    of the same N) plan with zero Exchange and zero Sort
+    (``cobucketed_join``). The run_id lands in the table NAME (lineage
+    identity), not a column — each published run is an immutable
+    snapshot, the Iceberg-snapshot analog."""
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", run_id)
+    dec = (
+        spark.read.parquet(os.path.join(output, "decisions"))
+        .where(F.col("run_id") == run_id)
+        .drop("run_id", "bucket")
+    )
+    fnd = (
+        spark.read.parquet(os.path.join(output, "findings"))
+        .where(F.col("run_id") == run_id)
+        .drop("run_id", "bucket")
+    )
+    dt = write_bucketed(
+        dec, f"decisions_{safe}", n_buckets=n_buckets, database=database, location=location
+    )
+    ft = write_bucketed(
+        fnd, f"findings_{safe}", n_buckets=n_buckets, database=database, location=location
+    )
+    return dt, ft

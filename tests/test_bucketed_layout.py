@@ -83,6 +83,45 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     assert got == want
 
 
+def test_publish_bucketed_run_join_is_colocated(
+    spark, clips_pdf, tmp_path_factory
+):
+    """End-to-end: run the checkpointed job, publish its output as
+    co-bucketed tables, and prove the downstream decisions ⋈ findings
+    audit join is Exchange-free and loses no rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_checker_spark.run.job import run_job
+    from data_quality_checker_spark.run.layout import publish_bucketed_run
+
+    corpus = str(tmp_path_factory.mktemp("pubcorpus") / "clips.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(clips_pdf.drop(columns=["defect"]), preserve_index=False),
+        corpus,
+    )
+    out = str(tmp_path_factory.mktemp("pubout"))
+    loc = tmp_path_factory.mktemp("pub_wh").as_posix()
+    run_job(spark, corpus, out, "pub-run.1")
+
+    dt, ft = publish_bucketed_run(
+        spark, out, "pub-run.1", n_buckets=8, database="dqc_test_pub", location=loc
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        audit = cobucketed_join(spark, dt, ft)
+        n_findings = spark.table(ft).count()
+        assert audit.count() == n_findings  # every finding has its decision
+        plan = audit._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {dt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ft}")
+        spark.sql("DROP DATABASE IF EXISTS dqc_test_pub")
+
+
 def test_one_file_per_bucket(spark, bucketed_tables):
     """The bucketBy small-files trap is handled: the pre-repartition makes
     each task own exactly one bucket, so N buckets → N data files."""
