@@ -284,14 +284,25 @@ def main():
     # the session in ways a per-job cluster driver never sees. Splits
     # session+UDF-worker warmup (first pass) from steady-state cost so
     # round-over-round regressions are attributable to plans.
-    warm: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()  # same per-job isolation as the cold pass
-    detail: dict = {"queries_warm": warm}
+    # Two warm passes, per-query MIN: this host's throughput swings up to
+    # ~3× between identical runs (BENCH/BASELINE.md "Host-noise
+    # calibration"), so a single warm sample can book a 20 s noise burst
+    # against a 4 s query. The minimum of two samples is the
+    # least-noise-contaminated estimate of steady-state plan cost — the
+    # number that IS comparable round-over-round. Both raw passes are
+    # kept in bench_detail.json.
+    warm_passes: list[dict[str, float]] = []
+    for _ in range(2):
+        w: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            w[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()  # same per-job isolation as the cold pass
+        warm_passes.append(w)
+    warm = {n: min(w[n] for w in warm_passes) for n in BENCH_QUERIES}
+    detail: dict = {"queries_warm": warm, "queries_warm_passes": warm_passes}
     extras["value_warm"] = round(sum(warm.values()), 3)
 
     # ANN recall, three regimes (VERDICT r2 item 4):
