@@ -267,3 +267,66 @@ def fingerprint_neardup_pairs(
         .select("clip_a", "clip_b", "n_overlap", "ber")
     )
     return out
+
+
+CONTENT_DUP_RULE = "content_duplicate"
+CONTENT_DUP_SEVERITY = "medium"  # same tier as the byte-level duplicate rule
+
+
+def content_dedup_decisions(
+    clips: DataFrame,
+    decisions: DataFrame,
+    max_ber: float = 0.1,
+    token_stride: int = 1,
+) -> DataFrame:
+    """Optional pipeline post-pass: drop content-level near-duplicates
+    the byte-SHA dedup tier cannot see (gain-scaled, transcoded,
+    resampled, lightly trimmed copies).
+
+    Fingerprint near-dup pairs → connected components (near-duplication
+    is transitive: A≈B≈C must not drop the whole clique) → every cluster
+    member except the keeper (min clip_id, the same keep-first-min-id
+    convention as every other dedup tier here) gets ``keep = false`` and
+    ``content_duplicate`` appended to ``rules_fired``. All other
+    decision rows and columns pass through untouched, so the post-pass
+    composes with run/job.py, findings_from_decisions (pass
+    ``extra_severities={CONTENT_DUP_RULE: CONTENT_DUP_SEVERITY}``) and
+    the summary/report sinks.
+
+    Exact byte-duplicates are content-duplicates too (BER 0), so a clip
+    already dropped by the SHA tier may additionally carry this rule —
+    truthful, and the keeper conventions coincide (min clip_id in both
+    tiers), so no keeper is ever dropped by the other tier.
+
+    Scale shape: one fingerprint scan (map-only Arrow), token equi-join
+    candidate generation, BER codegen verify, then label propagation
+    over verified pairs only — the decisions join is a slim left join on
+    clip_id."""
+    from .simdedup import neardup_components
+
+    pairs = fingerprint_neardup_pairs(
+        clips, max_ber=max_ber, token_stride=token_stride
+    ).select(F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b"))
+    dups = (
+        neardup_components(pairs)
+        .where(F.col("is_dup"))
+        .select(F.col("doc_id").alias("clip_id"), F.lit(True).alias("_content_dup"))
+    )
+    out = decisions.join(dups, "clip_id", "left")
+    is_dup = F.coalesce(F.col("_content_dup"), F.lit(False))
+    cols = []
+    for c in decisions.columns:
+        if c == "keep":
+            cols.append((F.col("keep") & ~is_dup).alias("keep"))
+        elif c == "rules_fired":
+            cols.append(
+                F.when(
+                    is_dup,
+                    F.array_append(F.col("rules_fired"), F.lit(CONTENT_DUP_RULE)),
+                )
+                .otherwise(F.col("rules_fired"))
+                .alias("rules_fired")
+            )
+        else:
+            cols.append(F.col(c))
+    return out.select(*cols)

@@ -304,3 +304,46 @@ def label_fingerprint_pairs(
     df = pd.DataFrame(rows, columns=["clip_a", "clip_b", "n_overlap", "ber"])
     df["n_overlap"] = df["n_overlap"].astype("int64")
     return df
+
+
+def label_content_decisions(
+    clips: pd.DataFrame, max_ber: float = 0.1
+) -> pd.DataFrame:
+    """Expected (clip_id, keep, rules_fired) AFTER the content-dedup
+    post-pass (operators/audiofp.content_dedup_decisions): the eager
+    pandas labeler's decisions composed with union-find connected
+    components over the fingerprint near-dup pairs — every cluster
+    member except the min clip_id drops with 'content_duplicate'
+    appended. rules_fired is the name-sorted comma join (the Spark
+    projection sorts too, so the driver's hash compare is stable).
+
+    The union keeps the MIN id as each root (merging two trees whose
+    roots are their minima yields the min of both), so find(x) == the
+    component's min clip_id — the same keeper convention as the Spark
+    side's min-label propagation (simdedup.neardup_components)."""
+    from .pandas_oracle import label_clips
+
+    labels = label_clips(clips)
+    pairs = label_fingerprint_pairs(clips, max_ber=max_ber)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(r.clip_a), find(r.clip_b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    rows = []
+    for r in labels.itertuples():
+        rules = list(r.rules_fired)
+        keep = bool(r.keep)
+        if find(r.clip_id) != r.clip_id:
+            keep = False
+            rules = rules + ["content_duplicate"]
+        rows.append((r.clip_id, keep, ",".join(sorted(rules))))
+    return pd.DataFrame(rows, columns=["clip_id", "keep", "rules_fired"])

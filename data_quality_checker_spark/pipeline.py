@@ -201,10 +201,21 @@ def decide(
     )
 
 
-def findings_from_decisions(decisions: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+def findings_from_decisions(
+    decisions: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    extra_severities: dict[str, str] | None = None,
+) -> DataFrame:
     """Explode per-clip fired rules into the findings table (the issue-record
-    analog, src/core/validator.py:20-45)."""
+    analog, src/core/validator.py:20-45). ``extra_severities`` maps rules
+    appended by post-passes outside the core rule set (e.g. the content
+    dedup tier's ``content_duplicate``) to their severity."""
     sev = severity_map_expr(build_rules(cfg))
+    if extra_severities:
+        pairs: list = []
+        for k, v in sorted(extra_severities.items()):
+            pairs.extend([F.lit(k), F.lit(v)])
+        sev = F.map_concat(sev, F.create_map(*pairs))
     return decisions.select(
         "clip_id", F.explode("rules_fired").alias("rule")
     ).withColumn("severity", F.element_at(sev, F.col("rule")))

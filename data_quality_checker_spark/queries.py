@@ -1736,6 +1736,33 @@ def q_clips_decisions_labels(spark, sf_dir):
     )
 
 
+@register(
+    "clips_content_decisions",
+    f"""
+    SELECT clip_id, keep, rules_fired
+    FROM read_parquet('/tmp/dqc_expected_content{_FP_V}_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_clips_content_decisions(spark, sf_dir):
+    """The flagship pipeline COMPOSED with the content-dedup post-pass
+    (operators/audiofp.content_dedup_decisions): gain-scaled / transcoded
+    / resampled copies the byte-SHA tier missed drop with
+    'content_duplicate'. Hash-checked against an independent eager
+    labeler (pandas rules + union-find over popcount-verified pairs,
+    oracle/audio_oracle.label_content_decisions). rules_fired is
+    name-sorted on both sides for a stable compare."""
+    from .operators.audiofp import content_dedup_decisions
+    from .pipeline import run_pipeline
+
+    clips = spark.read.parquet(_clips_path(sf_dir))
+    dec = run_pipeline(spark, clips).decisions
+    return content_dedup_decisions(clips, dec, max_ber=0.1).select(
+        "clip_id",
+        "keep",
+        F.concat_ws(",", F.array_sort("rules_fired")).alias("rules_fired"),
+    )
+
+
 def ensure_audio_fixtures(sf_dir: str) -> dict[str, str]:
     """Write (once, deterministically) the eager audio-oracle expected
     outputs for the synthetic corpus at this sf — the audio-tier analog of
@@ -1750,6 +1777,7 @@ def ensure_audio_fixtures(sf_dir: str) -> dict[str, str]:
         "resample": f"/tmp/dqc_expected_resample_{base}{_TAG}.parquet",
         "fingerprints": f"/tmp/dqc_expected_fp{_FP_V}_{base}{_TAG}.parquet",
         "fp_pairs": f"/tmp/dqc_expected_fppairs{_FP_V}_{base}{_TAG}.parquet",
+        "content_labels": f"/tmp/dqc_expected_content{_FP_V}_{base}{_TAG}.parquet",
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -1764,6 +1792,7 @@ def ensure_audio_fixtures(sf_dir: str) -> dict[str, str]:
         "resample": audio_oracle.label_resample_stats(clips),
         "fingerprints": audio_oracle.label_audio_fingerprints(clips),
         "fp_pairs": audio_oracle.label_fingerprint_pairs(clips),
+        "content_labels": audio_oracle.label_content_decisions(clips),
     }
     for k, pdf in outs.items():
         tmp = f"{paths[k]}.tmp.{os.getpid()}"
@@ -1997,6 +2026,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 # stage), so a cap drops redundant rows, never unique ones.
 _FIRST = [
     "ann_ivf_topk",
+    "clips_content_decisions",
     "audio_fingerprints",
     "audio_neardup_pairs",
     "audio_neardup_clusters",

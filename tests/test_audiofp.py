@@ -160,6 +160,59 @@ def test_neardup_pairs_end_to_end(spark, clips_pdf):
     assert got == o_pairs
 
 
+def test_content_dedup_decisions_post_pass(spark):
+    """Pipeline composition: the content tier drops the gain-scaled copy
+    the SHA tier missed, keeps the cluster keeper, appends the rule, and
+    leaves every other decision row untouched; findings pick up the
+    post-pass severity via extra_severities."""
+    from data_quality_checker_spark.pipeline import (
+        findings_from_decisions,
+        run_pipeline,
+    )
+
+    sr = FP.FP_SR
+    base = _speechlike(20, secs=2.5)
+    tx = "hello there this is a transcript of reasonable length"
+    rows = [
+        ("a_orig", encode_wav(base, sr), sr, 2500, "wav", tx),
+        ("b_gain", encode_wav(base * 0.6, sr), sr, 2500, "wav", tx),  # SHA differs
+        ("c_exact", encode_wav(base, sr), sr, 2500, "wav", tx),  # SHA-equal to a_orig
+        ("d_other", encode_wav(_speechlike(21, secs=2.5), sr), sr, 2500, "wav", tx),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    )
+    clips = spark.createDataFrame(
+        pdf,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    base_dec = run_pipeline(spark, clips, persist=False).decisions
+    out = FP.content_dedup_decisions(clips, base_dec)
+    got = {r.clip_id: (r.keep, tuple(r.rules_fired)) for r in out.collect()}
+
+    # keeper (min clip_id of the content cluster) survives
+    assert got["a_orig"][0] is True and got["a_orig"][1] == ()
+    # gain copy: byte-SHA missed it, content tier catches it
+    assert got["b_gain"][0] is False
+    assert "content_duplicate" in got["b_gain"][1]
+    assert "duplicate" not in got["b_gain"][1]
+    # exact copy: dropped by BOTH tiers, truthfully double-flagged
+    assert got["c_exact"][0] is False
+    assert {"duplicate", "content_duplicate"} <= set(got["c_exact"][1])
+    # unrelated clip untouched
+    assert got["d_other"][0] is True and got["d_other"][1] == ()
+
+    sev = {
+        (r.clip_id, r.rule): r.severity
+        for r in findings_from_decisions(
+            out,
+            extra_severities={FP.CONTENT_DUP_RULE: FP.CONTENT_DUP_SEVERITY},
+        ).collect()
+    }
+    assert sev[("b_gain", "content_duplicate")] == "medium"
+    assert sev[("c_exact", "duplicate")] == "medium"
+
+
 # ---------------------------------------------------------------------------
 # plan shape
 
