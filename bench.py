@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
 ]
 
 # Extras whose values are scalars and small enough for the stdout line;
@@ -78,6 +79,7 @@ LINE_EXTRAS = [
     "prev_bench",
     "ann_lsh_recall",
     "ann_ivf_recall",
+    "ann_ivfpq_recall",
     "ann_lsh_recall_mid",
     "ann_lsh_recall_mid_h2",
     "ann_ivf_recall_mid",
@@ -317,7 +319,11 @@ def main():
             (r["query_id"], r["neighbor_id"])
             for r in qs["ann_topk"](spark, sf_dir).collect()
         }
-        for qname, key in (("ann_lsh_topk", "ann_lsh_recall"), ("ann_ivf_topk", "ann_ivf_recall")):
+        for qname, key in (
+            ("ann_lsh_topk", "ann_lsh_recall"),
+            ("ann_ivf_topk", "ann_ivf_recall"),
+            ("ann_ivfpq_topk", "ann_ivfpq_recall"),
+        ):
             approx = {
                 (r["query_id"], r["neighbor_id"])
                 for r in qs[qname](spark, sf_dir).collect()

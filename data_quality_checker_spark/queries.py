@@ -2011,6 +2011,37 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register("ann_ivfpq_topk", None)
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """Approximate top-k via the PRODUCT-QUANTIZED inverted file
+    (operators/ann.build_ivfpq_index / ivfpq_topk_from_index): postings
+    hold pq_m=8 one-byte codes per vector instead of the raw floats
+    (64× smaller at dim 64 — the memory-bounded tier for 10^12-vector
+    corpora), ADC table-lookup scoring inside mapInPandas over a
+    partition-pruned read, exact-cosine refine on the top candidates.
+    Rows-only: the two k-means fits are not SQL-expressible; bench
+    reports measured recall vs ann_topk (`ann_ivfpq_recall`). The index
+    is built once per (sf, spec) into a deterministic /tmp path and
+    probed thereafter — the Faiss build-once/search-many shape."""
+    import os
+    import shutil
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    base, _sf = _sf_of(sf_dir)
+    path = f"/tmp/dqc_ivfpq_{base}{_TAG}"
+    if not os.path.exists(f"{path}/codebooks.parquet"):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ann.build_ivfpq_index(e, tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    out = ann.ivfpq_topk_from_index(
+        spark, path, q, k=5, nprobe=48, refine_emb=e, refine_mult=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # Driver-cap hedge: CORRECTNESS_r02 recorded exactly 50 verdicts for 51
 # registered queries, dropping only the LAST-registered one
 # (ann_ivf_topk) even though it runs clean in ~2s at sf0.01 — the
@@ -2027,6 +2058,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 _FIRST = [
     "ann_ivf_topk",
     "clips_content_decisions",
+    "ann_ivfpq_topk",
     "audio_fingerprints",
     "audio_neardup_pairs",
     "audio_neardup_clusters",

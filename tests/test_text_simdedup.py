@@ -356,3 +356,61 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
 
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200], plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product-quantized inverted file)
+
+
+def test_ivfpq_recall_and_compressed_postings(spark, tmp_path):
+    """The PQ index must (a) store ONLY codes in its postings — no raw
+    vector column, pq_m ints per row — and (b) recover planted neighbors
+    through ADC + refine at high recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    en = rng.standard_normal((300, 32))
+    en /= np.linalg.norm(en, axis=1, keepdims=True)
+    e = _emb(spark, [(i, [float(x) for x in v]) for i, v in enumerate(en)])
+    src, planted = _planted(rng, en, 20, scale=0.11)  # mid regime ≈0.75
+    q = _emb(spark, planted)
+
+    idx = str(tmp_path / "pq")
+    ann.build_ivfpq_index(e, idx, n_centroids=32, pq_m=8, ks=64)
+
+    posting = spark.read.parquet(f"{idx}/assigned")
+    assert set(posting.columns) == {"neighbor_id", "codes", "cid"}
+    row = posting.first()
+    assert len(row["codes"]) == 8
+
+    out = ann.ivfpq_topk_from_index(
+        spark, idx, q, k=3, nprobe=8, refine_emb=e, refine_mult=4
+    )
+    hits = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    recall = sum(1 for qi, s in enumerate(src) if (1000 + qi, int(s)) in hits) / len(src)
+    assert recall >= 0.9, recall
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_adc_only_and_empty_queries(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    en = rng.standard_normal((120, 16))
+    en /= np.linalg.norm(en, axis=1, keepdims=True)
+    e = _emb(spark, [(i, [float(x) for x in v]) for i, v in enumerate(en)])
+    idx = str(tmp_path / "pq2")
+    ann.build_ivfpq_index(e, idx, n_centroids=8, pq_m=4, ks=32)
+
+    # ADC-only path: approximate score column, k rows per query
+    out = ann.ivfpq_topk_from_index(spark, idx, e.where("vec_id < 3"), k=2, nprobe=8)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(r["rank"] in (1, 2) for r in rows)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "score"]
+
+    empty = ann.ivfpq_topk_from_index(spark, idx, e.where("vec_id < 0"), k=2)
+    assert empty.count() == 0
