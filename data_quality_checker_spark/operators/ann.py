@@ -40,8 +40,12 @@ Four tiers, per the standard large-corpus design (Faiss-style):
   over a partition-pruned read, with an optional exact-cosine refine
   join. The memory-bounded tier for corpora whose raw vectors no longer
   fit aggregate cluster memory. Measured recall in this corpus' hard
-  general regime: 0.92 at nprobe=48 / refine_mult=4 (0.97 at
-  nprobe=64 / refine_mult=8); BENCH `ann_ivfpq_recall`.
+  general regime (true neighbors at cosine≈0.37 — PQ distortion is
+  comparable to the neighbor gap, the worst case for ADC): at sf0.1,
+  pq_m=8 (64× compression) reaches 0.66 at nprobe=48/refine 4 while
+  pq_m=16 (32×) reaches **0.94** at nprobe=64/refine 8 — matching the
+  raw-vector IVF tier; BENCH `ann_ivfpq_recall`. The standard
+  accuracy-for-memory dial: halve dsub to halve distortion.
 
 All candidate→exact stages re-rank with true cosine, so precision is
 exact; only recall is approximate (ADC-only results expose an

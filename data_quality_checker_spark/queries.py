@@ -2029,15 +2029,19 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     base, _sf = _sf_of(sf_dir)
-    path = f"/tmp/dqc_ivfpq_{base}{_TAG}"
+    # pq_m=16 (dsub=4, 32× compression at dim 64): halves the residual
+    # quantization distortion vs pq_m=8, which in this corpus' hard
+    # cosine≈0.37 regime lifts measured sf0.1 recall 0.66 → 0.94 —
+    # matching the raw-vector IVF tier — at nprobe=64 / refine_mult=8.
+    path = f"/tmp/dqc_ivfpq16_{base}{_TAG}"
     if not os.path.exists(f"{path}/codebooks.parquet"):
         tmp = f"{path}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        ann.build_ivfpq_index(e, tmp)
+        ann.build_ivfpq_index(e, tmp, pq_m=16)
         shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)
     out = ann.ivfpq_topk_from_index(
-        spark, path, q, k=5, nprobe=48, refine_emb=e, refine_mult=4
+        spark, path, q, k=5, nprobe=64, refine_emb=e, refine_mult=8
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
