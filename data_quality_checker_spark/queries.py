@@ -1673,6 +1673,81 @@ def ensure_expected_fixtures(sf_dir: str) -> tuple[str, str]:
     return labels_path, findings_path
 
 
+# Delta config exercised by the driver-gated re-score row — one change
+# per rule family (scorer threshold, range bound, whitelist, disabled
+# rule), mirroring tests/test_rescore.py. Shared by the Spark query and
+# the pandas-labeler fixture below.
+RESCORE_DELTA = dict(
+    perplexity_max=30.0,
+    dur_ms_min=700,
+    sr_hz_whitelist=(16000, 44100, 48000),
+    disabled_rules=("pii_phone",),
+)
+
+
+def ensure_rescore_fixture(sf_dir: str) -> str:
+    """Expected decisions under RESCORE_DELTA from the independent eager
+    pandas labeler (oracle/pandas_oracle.py) — the ground truth the
+    metrics-table re-score must reproduce without re-reading any audio."""
+    import dataclasses
+
+    base, sf = _sf_of(sf_dir)
+    path = f"/tmp/dqc_expected_rescore_{base}{_TAG}.parquet"
+    if os.path.exists(path):
+        return path
+    from .config import DEFAULT_CONFIG
+    from .corpus.generator import generate_clips
+    from .oracle.pandas_oracle import label_clips
+
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, **RESCORE_DELTA)
+    labels = label_clips(generate_clips(sf), cfg2)
+    out = labels.copy()
+    out["rules_fired"] = out["rules_fired"].map(lambda r: ",".join(sorted(r)))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    out.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "clips_rescored_decisions",
+    f"""
+    SELECT clip_id, keep, rules_fired, scrubbed_transcript
+    FROM read_parquet('/tmp/dqc_expected_rescore_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_clips_rescored_decisions(spark, sf_dir):
+    """Config-delta re-score, driver-gated end to end (run/rescore.py):
+    the slim metrics table is built ONCE per sf (one enrichment pass,
+    cached in /tmp like the other fixtures), then decisions under
+    RESCORE_DELTA are derived from it with zero UDFs and zero payload
+    reads — hash-checked against the pandas labeler running the FULL
+    eager pipeline under the same delta config. Green means the
+    metrics-table split loses no rule semantics."""
+    import dataclasses
+    import shutil
+
+    from .config import DEFAULT_CONFIG
+    from .run.rescore import rescore_decisions, write_metrics
+
+    base, _sf = _sf_of(sf_dir)
+    mpath = f"/tmp/dqc_metrics_{base}{_TAG}"
+    if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+        tmp = f"{mpath}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_metrics(spark, spark.read.parquet(_clips_path(sf_dir)), tmp)
+        shutil.rmtree(mpath, ignore_errors=True)
+        os.replace(tmp, mpath)
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, **RESCORE_DELTA)
+    out = rescore_decisions(spark.read.parquet(mpath), cfg2)
+    return out.select(
+        "clip_id",
+        "keep",
+        F.concat_ws(",", F.array_sort("rules_fired")).alias("rules_fired"),
+        "scrubbed_transcript",
+    )
+
+
 @register("clips_decisions", None)
 def q_clips_decisions(spark, sf_dir):
     """Flagship: full quality-filter pipeline (enrich → rules → decide)
@@ -2063,6 +2138,7 @@ _FIRST = [
     "ann_ivf_topk",
     "clips_content_decisions",
     "ann_ivfpq_topk",
+    "clips_rescored_decisions",
     "audio_fingerprints",
     "audio_neardup_pairs",
     "audio_neardup_clusters",
@@ -2106,6 +2182,7 @@ def oracles() -> dict[str, str]:
     try:
         ensure_expected_fixtures("/root/testdata/sf0.01")
         ensure_audio_fixtures("/root/testdata/sf0.01")
+        ensure_rescore_fixture("/root/testdata/sf0.01")
         _clips_path("/root/testdata/sf0.01")  # audio_chunks SQL reads it
     except Exception:
         pass
