@@ -243,30 +243,37 @@ def fingerprint_neardup_pairs(
         F.col("fp").alias("fp_b"),
         F.col("n_subfp").alias("n_b"),
     )
-    # Slice BOTH arrays to the common prefix before zip_with: zip_with
-    # pads the shorter array with nulls, so on unequal-length pairs
-    # (trimmed/resampled variants differing by a frame) the XOR would
-    # yield a NULL ber and the WHERE would silently drop a true near-dup
-    # the prefix-BER definition keeps.
+    return with_ber(cand.join(a, "clip_a").join(b, "clip_b"), max_ber).select(
+        "clip_a", "clip_b", "n_overlap", "ber"
+    )
+
+
+def with_ber(pairs_with_fps: DataFrame, max_ber: float) -> DataFrame:
+    """Append (n_overlap, ber) to a frame carrying (fp_a, n_a, fp_b,
+    n_b) and keep rows with ber ≤ max_ber — the shared verification
+    stage of the batch near-dup pairing above and the streaming
+    cross-batch probe (streaming/contentfp.py). All whole-stage codegen.
+
+    Slice BOTH arrays to the common prefix before zip_with: zip_with
+    pads the shorter array with nulls, so on unequal-length pairs
+    (trimmed/resampled variants differing by a frame) the XOR would
+    yield a NULL ber and the WHERE would silently drop a true near-dup
+    the prefix-BER definition keeps."""
     bits_diff = F.expr(
         "aggregate(zip_with("
         "slice(fp_a, 1, least(n_a, n_b)), slice(fp_b, 1, least(n_a, n_b)), "
         "(x, y) -> bit_count(x ^ y)), "
         "0L, (acc, v) -> acc + v)"
     )
-    out = (
-        cand.join(a, "clip_a")
-        .join(b, "clip_b")
-        .withColumn("n_overlap", F.least("n_a", "n_b"))
+    return (
+        pairs_with_fps.withColumn("n_overlap", F.least("n_a", "n_b"))
         # no rounding: one IEEE float64 division of two exact ints is
         # bit-identical across engines (round() half-modes are not)
         .withColumn(
             "ber", bits_diff / (F.lit(float(FP_N_BITS)) * F.col("n_overlap"))
         )
         .where(F.col("ber") <= max_ber)
-        .select("clip_a", "clip_b", "n_overlap", "ber")
     )
-    return out
 
 
 CONTENT_DUP_RULE = "content_duplicate"

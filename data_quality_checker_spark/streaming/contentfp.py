@@ -1,0 +1,254 @@
+"""Cross-batch CONTENT dedup for the streaming path — the fingerprint
+analog of the SHA registry (streaming/incremental.py).
+
+The SHA registry catches byte-identical re-uploads across micro-batches;
+a re-encoded / gain-scaled / resampled copy of last week's clip sails
+through it. This module keeps TWO bucketed parquet side-tables under the
+stream's ``state_dir`` so every micro-batch can probe all previously
+seen CONTENT:
+
+* ``fp_tokens/tbkt=K``  — (token, clip_id): the Philips lookup table
+  (operators/audiofp) as a persistent inverted index, hash-partitioned
+  by token so a batch's probe reads only the buckets its own tokens
+  fall into;
+* ``fp_store/cbkt=K``   — (clip_id, n_subfp, fp): the full fingerprint
+  per REGISTERED KEEPER (~90 ints each), hash-partitioned by clip_id so
+  the BER-verify stage fetches exactly the candidate keepers' rows.
+
+Per micro-batch:
+
+1. fingerprint the batch (one map-only Arrow pass);
+2. WITHIN-batch near-dups: token pairing + BER verify + connected
+   components (the batch operators, reused verbatim);
+3. ACROSS batches: batch tokens ⋈ pruned ``fp_tokens`` buckets →
+   candidate (batch clip, registered keeper) pairs → fetch the keepers'
+   fingerprints from pruned ``fp_store`` buckets → shared BER verify
+   (audiofp.with_ber) → a batch clip matching ANY registered keeper is
+   a content duplicate of the EARLIEST registry match (min keeper id —
+   first-seen-batch wins, mirroring the SHA registry);
+4. register the batch's surviving cluster keepers (not already matched
+   to the registry) into both tables, gated on the same O(1) per-batch
+   marker-file idempotence protocol as the SHA registry, with the same
+   generic per-bucket compaction (incremental.compact_table_buckets) so
+   neither table degrades into a small-file storm.
+
+Scale shape: every cross-table touch is an equi-join on a
+hash-partitioned key with the partition list pruned to the batch's own
+keys; fingerprints (hundreds of bytes) ship only for verified
+candidates; audio bytes never leave stage 1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.audiofp import (
+    TOKEN_LEN,
+    _token_expr,
+    audio_fingerprints,
+    fingerprint_candidate_pairs,
+    with_ber,
+)
+from ..operators.simdedup import neardup_components
+from .incremental import (
+    MAX_BUCKET_FILES,  # noqa: F401  (re-exported for tests/docs)
+    compact_table_buckets,
+    recover_table_compaction,
+)
+
+N_FP_BUCKETS = 256
+
+
+def _tokens_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "fp_tokens")
+
+
+def _store_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "fp_store")
+
+
+def _marker(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, "fp_batches", f"{batch_id}.done")
+
+
+def _tbkt(col):
+    return F.pmod(F.xxhash64(col), F.lit(N_FP_BUCKETS)).cast("int")
+
+
+def _cbkt(col):
+    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(N_FP_BUCKETS)).cast(
+        "int"
+    )
+
+
+def _read_bucketed(
+    spark: SparkSession, path: str, part: str, buckets: list[int]
+) -> DataFrame | None:
+    if not buckets:
+        return None
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    return df.where(F.col(part).isin(*buckets))
+
+
+def process_content_increment(
+    spark: SparkSession,
+    new_clips: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    max_ber: float = 0.1,
+    token_stride: int = 1,
+) -> DataFrame:
+    """Score one micro-batch for content duplicates within AND across
+    batches → (clip_id, content_keeper_id, is_content_dup) for every
+    batch clip with a decodable fingerprint. Idempotent per batch_id."""
+    recover_table_compaction(state_dir, "fp_tokens", "tbkt", "fptok")
+    recover_table_compaction(state_dir, "fp_store", "cbkt", "fpstore")
+    batch_seen = os.path.exists(_marker(state_dir, batch_id))
+
+    fps = (
+        audio_fingerprints(new_clips)
+        .where(F.col("fp").isNotNull() & (F.col("n_subfp") >= TOKEN_LEN))
+        .persist()
+    )
+    fps.count()
+    try:
+        toks = fps.select(
+            "clip_id", F.explode(_token_expr(token_stride)).alias("token")
+        ).distinct()
+
+        # --- across batches: probe the token index, verify vs the store
+        probe_buckets = sorted(
+            r["b"]
+            for r in toks.select(_tbkt("token").alias("b")).distinct().collect()
+        )
+        reg_toks = _read_bucketed(
+            spark, _tokens_path(state_dir), "tbkt", probe_buckets
+        )
+        cross = None
+        if reg_toks is not None:
+            cand = (
+                toks.join(reg_toks.select("token", "clip_id").withColumnRenamed(
+                    "clip_id", "keeper_id"
+                ), "token")
+                .select(F.col("clip_id").alias("clip_b"), F.col("keeper_id").alias("clip_a"))
+                .distinct()
+            )
+            keeper_buckets = sorted(
+                r["b"]
+                for r in cand.select(_cbkt("clip_a").alias("b")).distinct().collect()
+            )
+            store = _read_bucketed(
+                spark, _store_path(state_dir), "cbkt", keeper_buckets
+            )
+            if store is not None:
+                a = store.select(
+                    F.col("clip_id").alias("clip_a"),
+                    F.col("fp").alias("fp_a"),
+                    F.col("n_subfp").alias("n_a"),
+                )
+                b = fps.select(
+                    F.col("clip_id").alias("clip_b"),
+                    F.col("fp").alias("fp_b"),
+                    F.col("n_subfp").alias("n_b"),
+                )
+                verified = with_ber(cand.join(a, "clip_a").join(b, "clip_b"), max_ber)
+                # earliest registry match wins (min keeper id): the same
+                # first-seen-wins convention as the SHA registry
+                cross = verified.groupBy("clip_b").agg(
+                    F.min("clip_a").alias("content_keeper_id")
+                )
+
+        # --- within the batch: pairs → components (keeper = min clip_id)
+        local_pairs = fingerprint_candidate_pairs(fps, token_stride)
+        lv = with_ber(
+            local_pairs.join(
+                fps.select(
+                    F.col("clip_id").alias("clip_a"),
+                    F.col("fp").alias("fp_a"),
+                    F.col("n_subfp").alias("n_a"),
+                ),
+                "clip_a",
+            ).join(
+                fps.select(
+                    F.col("clip_id").alias("clip_b"),
+                    F.col("fp").alias("fp_b"),
+                    F.col("n_subfp").alias("n_b"),
+                ),
+                "clip_b",
+            ),
+            max_ber,
+        ).select(F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b"))
+        local = neardup_components(lv).select(
+            F.col("doc_id").alias("clip_id"),
+            F.col("cluster_id").alias("local_keeper_id"),
+        )
+
+        # --- merge: a registry match beats local clustering (the content
+        # existed before this batch); else the local cluster keeper rules
+        out = (
+            fps.select("clip_id")
+            .join(local, "clip_id", "left")
+            .join(
+                cross.withColumnRenamed("clip_b", "clip_id")
+                if cross is not None
+                else spark.createDataFrame(
+                    [], "clip_id string, content_keeper_id string"
+                ),
+                "clip_id",
+                "left",
+            )
+            .select(
+                "clip_id",
+                F.coalesce(
+                    "content_keeper_id", "local_keeper_id", "clip_id"
+                ).alias("content_keeper_id"),
+            )
+            .withColumn(
+                "is_content_dup", F.col("content_keeper_id") != F.col("clip_id")
+            )
+        )
+
+        if not batch_seen:
+            # register the batch's NEW keepers: not a dup of anything
+            keepers = out.where(~F.col("is_content_dup")).select("clip_id")
+            kfps = fps.join(keepers, "clip_id", "left_semi")
+            ktoks = kfps.select(
+                "clip_id", F.explode(_token_expr(token_stride)).alias("token")
+            ).distinct()
+            ktoks.withColumn("tbkt", _tbkt("token")).write.mode("append").partitionBy(
+                "tbkt"
+            ).parquet(_tokens_path(state_dir))
+            kfps.select("clip_id", "n_subfp", "fp").withColumn(
+                "cbkt", _cbkt("clip_id")
+            ).write.mode("append").partitionBy("cbkt").parquet(
+                _store_path(state_dir)
+            )
+            os.makedirs(os.path.dirname(_marker(state_dir, batch_id)), exist_ok=True)
+            with open(_marker(state_dir, batch_id), "w"):
+                pass
+            token_buckets = sorted(
+                r["b"]
+                for r in ktoks.select(_tbkt("token").alias("b")).distinct().collect()
+            )
+            store_buckets = sorted(
+                r["b"]
+                for r in kfps.select(_cbkt("clip_id").alias("b")).distinct().collect()
+            )
+            compact_table_buckets(
+                spark, state_dir, token_buckets, "fp_tokens", "tbkt", "fptok"
+            )
+            compact_table_buckets(
+                spark, state_dir, store_buckets, "fp_store", "cbkt", "fpstore"
+            )
+        # materialize before unpersisting the fingerprint frame
+        rows = out.persist()
+        rows.count()
+        return rows
+    finally:
+        fps.unpersist()

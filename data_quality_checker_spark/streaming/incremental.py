@@ -90,58 +90,75 @@ def sha_bucket_expr(col: Column | str):
     return F.pmod(F.xxhash64(col), F.lit(N_SHA_BUCKETS)).cast("int")
 
 
-def _recover_compaction(state_dir: str) -> None:
+def recover_table_compaction(
+    state_dir: str, table: str = "sha_registry", part: str = "sbkt", tag: str = "sha"
+) -> None:
     """Sweep leftovers of a compaction interrupted mid-swap. The swap is
     write-tmp → rename(bucket→old) → rename(tmp→bucket) → delete old; a
     crash can only leave (a) a stale tmp dir (harmless, deleted), or
     (b) an ``old`` dir with the bucket dir missing (restored) / present
     (compaction completed, ``old`` deleted). Single-writer: one streaming
-    query owns ``state_dir`` (enforced by the stream checkpoint)."""
+    query owns ``state_dir`` (enforced by the stream checkpoint).
+
+    Generic over (table, partition column, tag) so every bucketed
+    streaming side-table — the SHA registry here, the fingerprint
+    token/store tables in streaming/contentfp.py — shares one audited
+    crash-recovery protocol instead of three."""
     try:
         names = os.listdir(state_dir)
     except FileNotFoundError:
         return
     for name in names:
         full = os.path.join(state_dir, name)
-        if name.startswith(".sha_compact_tmp_"):
+        if name.startswith(f".{tag}_compact_tmp_"):
             shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith(".sha_compact_old_"):
+        elif name.startswith(f".{tag}_compact_old_"):
             b = name.rsplit("_", 1)[1]
-            bdir = os.path.join(_registry_path(state_dir), f"sbkt={b}")
+            bdir = os.path.join(state_dir, table, f"{part}={b}")
             if os.path.exists(bdir):
                 shutil.rmtree(full, ignore_errors=True)
             else:
                 os.rename(full, bdir)
 
 
-def _compact_buckets(
-    spark: SparkSession, state_dir: str, buckets: list[int]
+def compact_table_buckets(
+    spark: SparkSession,
+    state_dir: str,
+    buckets: list[int],
+    table: str = "sha_registry",
+    part: str = "sbkt",
+    tag: str = "sha",
 ) -> None:
-    """Rewrite any touched registry bucket holding more than
+    """Rewrite any touched bucket of ``table`` holding more than
     ``MAX_BUCKET_FILES`` parquet files down to one file, so per-batch
     pruned reads stay O(bucket bytes), not O(batches). Local-FS renames
     here; on HDFS/S3 the same sequence goes through the Hadoop
     FileSystem API (or the table graduates to Iceberg, whose rewrite
     action is this operation natively — see run/ddl.py)."""
-    reg_root = _registry_path(state_dir)
+    reg_root = os.path.join(state_dir, table)
     for b in buckets:
-        bdir = os.path.join(reg_root, f"sbkt={b}")
+        bdir = os.path.join(reg_root, f"{part}={b}")
         try:
             n_files = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
         except FileNotFoundError:
             continue
         if n_files <= MAX_BUCKET_FILES:
             continue
-        tmp = os.path.join(state_dir, f".sha_compact_tmp_{b}")
+        tmp = os.path.join(state_dir, f".{tag}_compact_tmp_{b}")
         shutil.rmtree(tmp, ignore_errors=True)
         # the write materializes the full bucket read BEFORE the source
-        # dir is touched (sha+keeper only; sbkt lives in the dir name)
+        # dir is touched (the partition column lives in the dir name)
         spark.read.parquet(bdir).coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = os.path.join(state_dir, f".sha_compact_old_{b}")
+        old = os.path.join(state_dir, f".{tag}_compact_old_{b}")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(bdir, old)
         os.rename(tmp, bdir)
         shutil.rmtree(old, ignore_errors=True)
+
+
+# original (sha-specific) names, kept for call sites and tests
+_recover_compaction = recover_table_compaction
+_compact_buckets = compact_table_buckets
 
 
 def read_registry(

@@ -1,0 +1,123 @@
+"""Cross-batch content dedup (streaming/contentfp.py): a transformed
+copy of a clip registered in an EARLIER micro-batch must be flagged
+against that batch's keeper; within-batch clusters keep min clip_id;
+replays are idempotent."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_checker_spark.corpus.audio import encode_wav
+from data_quality_checker_spark.operators import audiofp as FP
+from data_quality_checker_spark.streaming.contentfp import (
+    process_content_increment,
+)
+
+SR = FP.FP_SR
+SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string"
+)
+
+
+def _speechlike(seed: int, secs: float = 2.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * SR)) / SR
+    f = 180 + 60 * np.sin(2 * np.pi * 1.6 * t + rng.uniform(0, 6))
+    sig = 0.35 * np.sin(2 * np.pi * np.cumsum(f) / SR)
+    sig += 0.12 * np.sin(2 * np.pi * 3.1 * np.cumsum(f) / SR)
+    sig *= 0.55 + 0.45 * np.sin(2 * np.pi * 2.8 * t + rng.uniform(0, 6))
+    sig += 0.01 * rng.standard_normal(len(t))
+    return sig
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    )
+    return spark.createDataFrame(pdf, SCHEMA)
+
+
+@pytest.fixture()
+def state_dir(tmp_path):
+    return str(tmp_path / "state")
+
+
+def _flags(df):
+    return {
+        r.clip_id: (r.content_keeper_id, r.is_content_dup) for r in df.collect()
+    }
+
+
+def test_cross_batch_and_within_batch(spark, state_dir):
+    base1 = _speechlike(30, 2.5)
+    base2 = _speechlike(31, 2.5)
+    batch1 = _df(
+        spark,
+        [
+            ("b1_orig", encode_wav(base1, SR), SR, 2500, "wav", "t"),
+            ("b1_other", encode_wav(_speechlike(32, 2.5), SR), SR, 2500, "wav", "t"),
+        ],
+    )
+    out1 = process_content_increment(spark, batch1, state_dir, 0)
+    f1 = _flags(out1)
+    out1.unpersist()
+    assert f1 == {
+        "b1_orig": ("b1_orig", False),
+        "b1_other": ("b1_other", False),
+    }
+
+    batch2 = _df(
+        spark,
+        [
+            # gain-scaled copy of a batch-1 clip: different SHA, same content
+            ("b2_gaincopy", encode_wav(base1 * 0.6, SR), SR, 2500, "wav", "t"),
+            # a within-batch near-dup pair: min clip_id keeps
+            ("b2_v1", encode_wav(base2, SR), SR, 2500, "wav", "t"),
+            ("b2_v2", encode_wav(base2 * 0.7, SR), SR, 2500, "wav", "t"),
+            ("b2_new", encode_wav(_speechlike(33, 2.5), SR), SR, 2500, "wav", "t"),
+        ],
+    )
+    out2 = process_content_increment(spark, batch2, state_dir, 1)
+    f2 = _flags(out2)
+    out2.unpersist()
+    assert f2["b2_gaincopy"] == ("b1_orig", True)  # earlier batch's keeper wins
+    assert f2["b2_v1"] == ("b2_v1", False)
+    assert f2["b2_v2"] == ("b2_v1", True)
+    assert f2["b2_new"] == ("b2_new", False)
+
+    # replay of batch 1 (at-least-once): same answers, no re-registration
+    replay = process_content_increment(spark, batch1, state_dir, 0)
+    fr = _flags(replay)
+    replay.unpersist()
+    # b1_orig is already IN the registry from the first run of batch 0 —
+    # the replayed scoring must still crown it keeper of its own content
+    # (self-match maps to itself), not flag it against itself
+    assert fr["b1_orig"] == ("b1_orig", False)
+    assert fr["b1_other"] == ("b1_other", False)
+
+    # batch-3 copy of a batch-2 keeper: transitivity through the registry
+    batch3 = _df(
+        spark,
+        [("b3_v3", encode_wav(base2 * 0.85, SR), SR, 2500, "wav", "t")],
+    )
+    out3 = process_content_increment(spark, batch3, state_dir, 2)
+    f3 = _flags(out3)
+    out3.unpersist()
+    assert f3["b3_v3"] == ("b2_v1", True)  # b2_v2 was never registered
+
+
+def test_unrelated_clips_never_flagged(spark, state_dir):
+    b = _df(
+        spark,
+        [
+            (f"c{i}", encode_wav(_speechlike(40 + i, 2.0), SR), SR, 2000, "wav", "t")
+            for i in range(4)
+        ],
+    )
+    out = process_content_increment(spark, b, state_dir, 0)
+    flags = _flags(out)
+    out.unpersist()
+    assert all(not dup for _, dup in flags.values())
