@@ -249,11 +249,19 @@ def process_and_write(
     output_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     dur_bounds: tuple[float, float] | None = None,
+    content_dedup: bool = False,
 ) -> None:
     """One foreachBatch tick: score + idempotently persist. The decisions
     land partitioned by batch_id with dynamic partition overwrite, so an
     at-least-once replay of a micro-batch replaces its own partition
     instead of appending duplicates.
+
+    ``content_dedup=True`` additionally probes/updates the cross-batch
+    fingerprint registry (streaming/contentfp.py): clips whose CONTENT
+    matches any earlier batch's keeper (or a within-batch cluster
+    keeper) flip to keep=false with ``content_duplicate`` appended —
+    the streaming form of audiofp.content_dedup_decisions. Both
+    registries share the marker-file idempotence, so replays converge.
 
     CRITICAL: the overwrite mode must be set on the session that executes
     the WRITE. Inside foreachBatch that is the micro-batch's cloned
@@ -265,9 +273,35 @@ def process_and_write(
     for sess in {spark, batch_df.sparkSession}:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     decisions = process_increment(spark, batch_df, state_dir, batch_id, cfg, dur_bounds)
+    flags = None
+    if content_dedup:
+        from ..operators.audiofp import CONTENT_DUP_RULE
+        from .contentfp import process_content_increment
+
+        flags = process_content_increment(spark, batch_df, state_dir, batch_id)
+        dup = F.coalesce(F.col("is_content_dup"), F.lit(False))
+        decisions = (
+            decisions.join(
+                flags.where(F.col("is_content_dup")).select(
+                    "clip_id", "is_content_dup"
+                ),
+                "clip_id",
+                "left",
+            )
+            .withColumn(
+                "rules_fired",
+                F.when(
+                    dup, F.array_append("rules_fired", F.lit(CONTENT_DUP_RULE))
+                ).otherwise(F.col("rules_fired")),
+            )
+            .withColumn("keep", F.col("keep") & ~dup)
+            .drop("is_content_dup")
+        )
     decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
     ).partitionBy("batch_id").parquet(output_dir)
+    if flags is not None:
+        flags.unpersist()
 
 
 def stream_quality_filter(
@@ -279,11 +313,13 @@ def stream_quality_filter(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     dur_bounds: tuple[float, float] | None = None,
     available_now: bool = True,
+    content_dedup: bool = False,
 ):
     """File-source streaming job: every parquet file landing in
     ``input_dir`` is scored exactly once; decisions append to
     ``output_dir`` (one partition per micro-batch). Returns the
-    StreamingQuery."""
+    StreamingQuery. ``content_dedup`` adds the cross-batch fingerprint
+    tier (see process_and_write)."""
     stream = (
         spark.readStream.schema(CLIPS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -292,7 +328,14 @@ def stream_quality_filter(
 
     def _process(batch_df: DataFrame, batch_id: int):
         process_and_write(
-            spark, batch_df, batch_id, state_dir, output_dir, cfg, dur_bounds
+            spark,
+            batch_df,
+            batch_id,
+            state_dir,
+            output_dir,
+            cfg,
+            dur_bounds,
+            content_dedup=content_dedup,
         )
 
     writer = stream.writeStream.foreachBatch(_process).option(

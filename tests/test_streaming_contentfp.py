@@ -121,3 +121,70 @@ def test_unrelated_clips_never_flagged(spark, state_dir):
     flags = _flags(out)
     out.unpersist()
     assert all(not dup for _, dup in flags.values())
+
+
+def test_stream_quality_filter_with_content_dedup(spark, tmp_path):
+    """End-to-end streaming entry point with content_dedup=True: a later
+    FILE containing a gain-scaled copy of an earlier file's clip drops
+    with content_duplicate, while the earlier keeper survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.streaming.incremental import (
+        stream_quality_filter,
+    )
+
+    base = _speechlike(50, 2.5)
+    tx = "hello there this is a transcript of reasonable length"
+    d = tmp_path / "in"
+    d.mkdir()
+    file1 = [
+        ("a_orig", encode_wav(base, SR), SR, 2500, "wav", tx),
+        ("a_other", encode_wav(_speechlike(51, 2.5), SR), SR, 2500, "wav", tx),
+    ]
+    file2 = [
+        ("b_gaincopy", encode_wav(base * 0.6, SR), SR, 2500, "wav", tx),
+        ("b_new", encode_wav(_speechlike(52, 2.5), SR), SR, 2500, "wav", tx),
+    ]
+    for i, rows in enumerate((file1, file2)):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+        )
+        # the file-source schema is CLIPS_SCHEMA (int32 sr_hz/dur_ms);
+        # pandas defaults these to int64 and the parquet read then fails
+        pdf["sr_hz"] = pdf["sr_hz"].astype("int32")
+        pdf["dur_ms"] = pdf["dur_ms"].astype("int32")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(d / f"part-{i}.parquet"),
+        )
+
+    out = str(tmp_path / "out")
+    # maxFilesPerTrigger=8 would swallow both files into one batch; force
+    # per-file batches by streaming with the entry point as-is — the file
+    # source lists both files at start, so use two sequential runs of the
+    # availableNow trigger with the second file added between them.
+    (d / "part-1.parquet").rename(tmp_path / "part-1.parquet.hold")
+    q = stream_quality_filter(
+        spark, str(d), out, str(tmp_path / "ckpt"), str(tmp_path / "state"),
+        content_dedup=True,
+    )
+    q.awaitTermination(300)
+    (tmp_path / "part-1.parquet.hold").rename(d / "part-1.parquet")
+    q = stream_quality_filter(
+        spark, str(d), out, str(tmp_path / "ckpt"), str(tmp_path / "state"),
+        content_dedup=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.clip_id: (r.keep, tuple(r.rules_fired))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["a_orig"][0] is True
+    assert got["b_gaincopy"][0] is False
+    assert "content_duplicate" in got["b_gaincopy"][1]
+    assert "duplicate" not in got["b_gaincopy"][1]  # SHA tier cannot see it
+    assert got["b_new"][0] is True and got["a_other"][0] is True
