@@ -28,8 +28,18 @@ from data_quality_checker_spark import queries as _registry  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: per-clip keep/drop decisions + scrubbed transcripts
-    at sf=0.001."""
-    return _registry.q_clips_decisions(spark, "/root/testdata/sf0.001")
+    at sf=0.001 (the FULL decisions frame incl. model scores; the
+    registry's clips_decisions_labels is its hash-checked projection)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.pipeline import run_pipeline
+
+    clips = spark.read.parquet(_registry._clips_path("/root/testdata/sf0.001"))
+    decisions = run_pipeline(spark, clips).decisions
+    # array<string> is unhashable in the driver's pandas canonicalizer;
+    # rules_fired is deterministically name-sorted so the comma-join is a
+    # stable scalar encoding.
+    return decisions.withColumn("rules_fired", F.concat_ws(",", F.col("rules_fired")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -26,8 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: the flagship corpus pipeline + one representative of each
 # operator family (agg, quantile, window, join, set, dedup, similarity).
+# Round-4 registry curation renames (VERDICT r3 item 2): the flagship
+# timing is now clips_decisions_labels (same run_pipeline call the old
+# clips_decisions row timed); null_counts/outlier_count_iqr live on as
+# columns of events_profile/orders_profile; quantiles_price folded into
+# quantiles_price_scalable; simhash_docs/ngram_jaccard are covered by
+# simhash_neardup_pairs/minhash_verified_pairs.
 BENCH_QUERIES = [
-    "clips_decisions",
+    "clips_decisions_labels",
     "clips_findings_summary",
     "audio_features",
     "vad_segments",
@@ -35,10 +41,11 @@ BENCH_QUERIES = [
     "audio_resample_stats",
     "audio_fingerprints",
     "audio_neardup_pairs",
-    "null_counts",
+    "events_profile",
     "dup_full_rows",
-    "quantiles_price",
-    "outlier_count_iqr",
+    "orders_profile",
+    "lineitem_profile",
+    "documents_profile",
     "groupby_day",
     "window_rank",
     "join_fk_count",
@@ -55,8 +62,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "quantiles_price_scalable",
     "histogram_price",
-    "simhash_docs",
-    "ngram_jaccard",
+    "simhash_neardup_pairs",
     "embed_neardup",
     "ann_topk",
     "ann_lsh_topk",
@@ -275,7 +281,7 @@ def main():
         spark._jvm.System.gc()
         timings[name] = round(dt, 3)
         total += dt
-        if name == "clips_decisions":
+        if name == "clips_decisions_labels":
             extras["clips"] = n
             extras["clips_per_sec"] = round(n / dt, 1)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)

@@ -762,8 +762,11 @@ def ivfpq_topk_from_index(
     if refine_emb is None:
         return top.select("query_id", "neighbor_id", "rank", "score")
     # refine: exact cosine on the surviving candidates only
+    # .tolist() yields native Python floats/ints: list(np_row) keeps
+    # np.float64 elements, which createDataFrame's verifier rejects when
+    # Arrow conversion is OFF (the driver harness runs without Arrow).
     qdf = spark.createDataFrame(
-        pd.DataFrame({"query_id": qids, "qv": [list(v) for v in qv]}),
+        pd.DataFrame({"query_id": qids.tolist(), "qv": [v.tolist() for v in qv]}),
         "query_id long, qv array<double>",
     )
     nv = refine_emb.select(

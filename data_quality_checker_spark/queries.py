@@ -55,24 +55,60 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ===========================================================================
 
 @register(
-    "null_counts",
-    """
-    SELECT count(*) AS n_rows,
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
-           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
-           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props
-    FROM events
+    "events_profile",
+    r"""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+             CAST(sum(CASE WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+             min(ts) AS first_ts, max(ts) AS last_ts,
+             CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT)
+               AS span_days
+      FROM events
+    )
+    SELECT n_rows, null_user_id, null_value, null_props, n_bad_props,
+           first_ts, last_ts, span_days,
+           round(CAST(null_value AS DOUBLE) / n_rows * 100, 4) AS missing_pct,
+           CASE WHEN CAST(null_value AS DOUBLE) / n_rows * 100 > 50 THEN 'high'
+                WHEN CAST(null_value AS DOUBLE) / n_rows * 100 > 20 THEN 'medium'
+                ELSE 'low' END AS severity
+    FROM m
     """,
 )
-def q_null_counts(spark, sf_dir):
-    """A1/P1 — per-column null-count aggregate in ONE pass
-    (validator.py:84-99; the reference scans once per column)."""
+def q_events_profile(spark, sf_dir):
+    """A1/P1 + A9 + A11/F1 + A22/F10 in ONE aggregate pass over events
+    (registry curation, round 4 — formerly the separate null_counts /
+    missing_threshold_severity / format_check_props / minmax_ts rows; the
+    merged oracle preserves every column's hash-level evidence while
+    freeing driver-cap slots): per-column null counts (validator.py:84-99),
+    missing-pct severity tiers (>50 high / >20 medium,
+    validation_rules.py:66-85), format-regex violation count
+    (validation_rules.py:121-158), and min/max timestamp + day-span date
+    arithmetic (metrics.py:114-115, comparison.py:122-126). One scan, one
+    partial+final aggregate — the reference scans once per check."""
     e = _t(spark, sf_dir, "events")
-    return e.agg(
+    pat = r'^\{"k": [0-9]+\}$'
+    m = e.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("user_id").isNull().cast("bigint")).alias("null_user_id"),
         F.sum(F.col("value").isNull().cast("bigint")).alias("null_value"),
         F.sum(F.col("props").isNull().cast("bigint")).alias("null_props"),
+        F.sum((~F.col("props").rlike(pat)).cast("bigint")).alias("n_bad_props"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+        .cast("bigint")
+        .alias("span_days"),
+    )
+    pct = F.col("null_value").cast("double") / F.col("n_rows") * 100
+    return m.select(
+        "n_rows", "null_user_id", "null_value", "null_props", "n_bad_props",
+        "first_ts", "last_ts", "span_days",
+        F.round(pct, 4).alias("missing_pct"),
+        F.when(pct > 50, "high").when(pct > 20, "medium").otherwise("low").alias("severity"),
     )
 
 
@@ -119,39 +155,40 @@ def q_dup_full_rows(spark, sf_dir):
 
 
 @register(
-    "key_dup_count",
+    "lineitem_profile",
     """
     SELECT count(*) - count(DISTINCT l_orderkey) AS key_dups,
-           count(DISTINCT l_orderkey) AS n_keys
+           count(DISTINCT l_orderkey) AS n_keys,
+           CAST(sum(CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END) AS BIGINT) AS below_min,
+           CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS above_max,
+           count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS card_parts,
+           count(DISTINCT l_suppkey) AS card_supps,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax
     FROM lineitem
     """,
 )
-def q_key_dup_count(spark, sf_dir):
-    """A4 — key-duplicate count (unique rule, validation_rules.py:176-193)."""
+def q_lineitem_profile(spark, sf_dir):
+    """A4 + A10 + A12 + A14 in ONE aggregate pass over lineitem (registry
+    curation, round 4 — formerly key_dup_count / range_check_quantity /
+    distinct_cards / corr_pairs): key-duplicate count (unique rule,
+    validation_rules.py:176-193), range-check below/above counts
+    (validation_rules.py:87-119, null-safe), exact cardinalities
+    (ml_advisor.py:141 — at 10^12 rows flip to approx_count_distinct and
+    document the ε), and pairwise Pearson correlation
+    (ml_advisor.py:184-198)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         (F.count(F.lit(1)) - F.countDistinct("l_orderkey")).alias("key_dups"),
         F.countDistinct("l_orderkey").alias("n_keys"),
-    )
-
-
-@register(
-    "quantiles_price",
-    """
-    SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS q1,
-           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS median,
-           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS q3
-    FROM orders
-    """,
-)
-def q_quantiles_price(spark, sf_dir):
-    """A5 — exact linear-interpolation quantiles (validator.py:244-254;
-    pandas-exact parity per SURVEY §4.3 — `percentile`, not approx)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+        F.sum((F.col("l_quantity") < 5).cast("bigint")).alias("below_min"),
+        F.sum((F.col("l_quantity") > 45).cast("bigint")).alias("above_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("card_parts"),
+        F.countDistinct("l_suppkey").alias("card_supps"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
     )
 
 
@@ -215,7 +252,7 @@ def q_histogram_price(spark, sf_dir):
 
 
 @register(
-    "outlier_count_iqr",
+    "orders_profile",
     """
     WITH b AS (
       SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
@@ -226,141 +263,63 @@ def q_histogram_price(spark, sf_dir):
            round(q3 + 1.5 * (q3 - q1), 4) AS hi,
            (SELECT count(*) FROM orders, b
              WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
-                OR o_totalprice > q3 + 1.5 * (q3 - q1)) AS n_outliers
+                OR o_totalprice > q3 + 1.5 * (q3 - q1)) AS n_outliers,
+           (SELECT round(min(o_totalprice), 4) FROM orders) AS price_min,
+           (SELECT round(max(o_totalprice), 4) FROM orders) AS price_max,
+           (SELECT round(avg(o_totalprice), 4) FROM orders) AS price_avg,
+           (SELECT round(stddev(o_totalprice), 3) FROM orders) AS price_std
     FROM b
     """,
 )
-def q_outlier_count_iqr(spark, sf_dir):
-    """A6 — IQR·1.5 fence outlier count (validator.py:270-294): tiny
-    quantile pre-pass broadcast-joined into the scan (two jobs, no
-    collect-loop)."""
+def q_orders_profile(spark, sf_dir):
+    """A6 + A15/A16 sharing one scan (registry curation, round 4 —
+    formerly outlier_count_iqr / column_moments): IQR·1.5 fence outlier
+    count (validator.py:270-294 — tiny quantile pre-pass broadcast-joined
+    into the scan, two jobs, no collect-loop) plus the column moments
+    incl. stddev (ml_advisor.py:261-275), computed in the SAME second
+    aggregate so the merge costs zero extra passes."""
     o = _t(spark, sf_dir, "orders")
     b = o.agg(
         F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
         F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
     )
     j = o.crossJoin(F.broadcast(b))
-    return (
-        j.agg(
-            F.round(F.first(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("lo"),
-            F.round(F.first(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("hi"),
-            F.sum(
-                (
-                    (F.col("o_totalprice") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
-                    | (F.col("o_totalprice") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
-                ).cast("bigint")
-            ).alias("n_outliers"),
-        )
+    return j.agg(
+        F.round(F.first(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("lo"),
+        F.round(F.first(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("hi"),
+        F.sum(
+            (
+                (F.col("o_totalprice") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+                | (F.col("o_totalprice") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+            ).cast("bigint")
+        ).alias("n_outliers"),
+        F.round(F.min("o_totalprice"), 4).alias("price_min"),
+        F.round(F.max("o_totalprice"), 4).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 4).alias("price_avg"),
+        F.round(F.stddev("o_totalprice"), 3).alias("price_std"),
     )
 
 
 @register(
-    "strlen_stats",
-    """
-    SELECT CAST(min(length(text)) AS BIGINT) AS len_min,
-           CAST(max(length(text)) AS BIGINT) AS len_max,
-           round(avg(CAST(length(text) AS DOUBLE)), 4) AS len_avg,
-           (max(length(text)) > 10 * min(length(text)) AND max(length(text)) > 100)
-             AS high_variation
-    FROM documents
-    """,
-)
-def q_strlen_stats(spark, sf_dir):
-    """A7 — string-length min/max + the reference's variation rule
-    (validator.py:309-324: max>10·min and max>100)."""
-    d = _t(spark, sf_dir, "documents")
-    ln = F.length("text")
-    return d.agg(
-        F.min(ln).cast("bigint").alias("len_min"),
-        F.max(ln).cast("bigint").alias("len_max"),
-        F.round(F.avg(ln.cast("double")), 4).alias("len_avg"),
-        ((F.max(ln) > 10 * F.min(ln)) & (F.max(ln) > 100)).alias("high_variation"),
-    )
-
-
-@register(
-    "range_check_quantity",
-    """
-    SELECT CAST(sum(CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END) AS BIGINT) AS below_min,
-           CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS above_max,
-           count(*) AS n_rows
-    FROM lineitem
-    """,
-)
-def q_range_check_quantity(spark, sf_dir):
-    """A10 — range_check rule (validation_rules.py:87-119): counts below
-    min / above max in one pass; null-safe (null never counts)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.sum((F.col("l_quantity") < 5).cast("bigint")).alias("below_min"),
-        F.sum((F.col("l_quantity") > 45).cast("bigint")).alias("above_max"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@register(
-    "format_check_props",
-    r"""
-    SELECT CAST(sum(CASE WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
-           count(*) AS n_rows
-    FROM events
-    """,
-)
-def q_format_check_props(spark, sf_dir):
-    """A11/F1 — format (regex mismatch) count, the email/phone format rule
-    shape (validation_rules.py:121-158) bound to events.props."""
-    e = _t(spark, sf_dir, "events")
-    pat = r'^\{"k": [0-9]+\}$'
-    return e.agg(
-        F.sum((~F.col("props").rlike(pat)).cast("bigint")).alias("n_bad"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@register(
-    "missing_threshold_severity",
+    "documents_profile",
     """
     WITH m AS (
       SELECT count(*) AS n_rows,
-             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-      FROM events
-    )
-    SELECT n_rows, n_missing,
-           round(CAST(n_missing AS DOUBLE) / n_rows * 100, 4) AS missing_pct,
-           CASE WHEN CAST(n_missing AS DOUBLE) / n_rows * 100 > 50 THEN 'high'
-                WHEN CAST(n_missing AS DOUBLE) / n_rows * 100 > 20 THEN 'medium'
-                ELSE 'low' END AS severity
-    FROM m
-    """,
-)
-def q_missing_threshold_severity(spark, sf_dir):
-    """A9/A1 — missing-pct severity tiers (>50 high, >20 medium else low;
-    validator.py:92, validation_rules.py:66-85) as a single aggregate."""
-    e = _t(spark, sf_dir, "events")
-    m = e.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("value").isNull().cast("bigint")).alias("n_missing"),
-    )
-    pct = F.col("n_missing").cast("double") / F.col("n_rows") * 100
-    return m.select(
-        "n_rows",
-        "n_missing",
-        F.round(pct, 4).alias("missing_pct"),
-        F.when(pct > 50, "high").when(pct > 20, "medium").otherwise("low").alias("severity"),
-    )
-
-
-@register(
-    "readiness_score",
-    """
-    WITH m AS (
-      SELECT count(*) AS n_rows,
-             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS miss_text,
-             count(DISTINCT lang) AS n_langs
+             CAST(min(length(text)) AS BIGINT) AS len_min,
+             CAST(max(length(text)) AS BIGINT) AS len_max,
+             round(avg(CAST(length(text) AS DOUBLE)), 4) AS len_avg,
+             (max(length(text)) > 10 * min(length(text)) AND max(length(text)) > 100)
+               AS high_variation,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS miss_text
       FROM documents
+    ),
+    t AS (
+      SELECT lang AS top_lang, cnt,
+             round(CAST(cnt AS DOUBLE) / (SELECT n_rows FROM m), 6) AS share
+      FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, top_lang ASC) = 1
     )
-    SELECT n_rows,
+    SELECT n_rows, len_min, len_max, len_avg, high_variation,
            CAST(100
                 - (CASE WHEN CAST(miss_text AS DOUBLE)/n_rows*100 > 50 THEN 30
                         WHEN CAST(miss_text AS DOUBLE)/n_rows*100 > 30 THEN 20
@@ -370,19 +329,36 @@ def q_missing_threshold_severity(spark, sf_dir):
                 - (CASE WHEN n_rows < 100 THEN 20
                         WHEN n_rows < 500 THEN 10
                         WHEN n_rows < 1000 THEN 5 ELSE 0 END) AS BIGINT)
-             AS readiness
-    FROM m
+             AS readiness,
+           top_lang, cnt, share
+    FROM m, t
     """,
 )
-def q_readiness_score(spark, sf_dir):
-    """A18 — readiness-score fold over aggregates with the reference's
-    exact penalty tiers (ml_advisor.py:319-365: 50/30/10/5% missing and
-    100/500/1000-row thresholds)."""
+def q_documents_profile(spark, sf_dir):
+    """A7 + A18 + A13 over documents (registry curation, round 4 —
+    formerly strlen_stats / readiness_score / top_class_share):
+    string-length min/max + the reference's variation rule
+    (validator.py:309-324: max>10·min and max>100), the readiness-score
+    fold with the exact penalty tiers (ml_advisor.py:319-365: 50/30/10/5%
+    missing and 100/500/1000-row thresholds), and the dominant-class
+    share (ml_advisor.py:134-162). One full-scan aggregate + one groupBy
+    on lang; the two 1-row heads cross-join for free."""
     d = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
     m = d.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.min(ln).cast("bigint").alias("len_min"),
+        F.max(ln).cast("bigint").alias("len_max"),
+        F.round(F.avg(ln.cast("double")), 4).alias("len_avg"),
+        ((F.max(ln) > 10 * F.min(ln)) & (F.max(ln) > 100)).alias("high_variation"),
         F.sum(F.col("text").isNull().cast("bigint")).alias("miss_text"),
-        F.countDistinct("lang").alias("n_langs"),
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("lang"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("lang").alias("top_lang"), "cnt")
     )
     miss_pct = F.col("miss_text").cast("double") / F.col("n_rows") * 100
     miss_pen = (
@@ -398,95 +374,11 @@ def q_readiness_score(spark, sf_dir):
         .when(F.col("n_rows") < 1000, 5)
         .otherwise(0)
     )
-    return m.select(
-        "n_rows", (F.lit(100) - miss_pen - size_pen).cast("bigint").alias("readiness")
-    )
-
-
-@register(
-    "distinct_cards",
-    """
-    SELECT count(DISTINCT l_partkey) AS parts,
-           count(DISTINCT l_suppkey) AS supps,
-           count(DISTINCT l_orderkey) AS orders
-    FROM lineitem
-    """,
-)
-def q_distinct_cards(spark, sf_dir):
-    """A12 — cardinality (nunique, ml_advisor.py:141) — exact here; at
-    10^12 rows flip to approx_count_distinct and document the ε."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("parts"),
-        F.countDistinct("l_suppkey").alias("supps"),
-        F.countDistinct("l_orderkey").alias("orders"),
-    )
-
-
-@register(
-    "top_class_share",
-    """
-    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
-         t AS (SELECT count(*) AS total FROM documents)
-    SELECT lang AS top_lang, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
-    FROM c, t
-    QUALIFY row_number() OVER (ORDER BY cnt DESC, lang ASC) = 1
-    """,
-)
-def q_top_class_share(spark, sf_dir):
-    """A13 — dominant-class share (ml_advisor.py:134-162 imbalance check;
-    the langid dominant-language metric)."""
-    d = _t(spark, sf_dir, "documents")
-    total = d.agg(F.count(F.lit(1)).alias("total"))
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("lang"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("lang").alias("top_lang"),
-            "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
-        )
-    )
-
-
-@register(
-    "corr_pairs",
-    """
-    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           round(corr(l_discount, l_tax), 6) AS corr_disc_tax
-    FROM lineitem
-    """,
-)
-def q_corr_pairs(spark, sf_dir):
-    """A14 — pairwise Pearson correlation (ml_advisor.py:184-198)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
-    )
-
-
-@register(
-    "column_moments",
-    """
-    SELECT round(min(o_totalprice), 4) AS price_min,
-           round(max(o_totalprice), 4) AS price_max,
-           round(avg(o_totalprice), 4) AS price_avg,
-           round(stddev(o_totalprice), 3) AS price_std
-    FROM orders
-    """,
-)
-def q_column_moments(spark, sf_dir):
-    """A15/A16 — column moments incl. stddev (ml_advisor.py:261-275)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.round(F.min("o_totalprice"), 4).alias("price_min"),
-        F.round(F.max("o_totalprice"), 4).alias("price_max"),
-        F.round(F.avg("o_totalprice"), 4).alias("price_avg"),
-        F.round(F.stddev("o_totalprice"), 3).alias("price_std"),
+    return m.crossJoin(F.broadcast(top)).select(
+        "n_rows", "len_min", "len_max", "len_avg", "high_variation",
+        (F.lit(100) - miss_pen - size_pen).cast("bigint").alias("readiness"),
+        "top_lang", "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias("share"),
     )
 
 
@@ -536,26 +428,6 @@ def q_event_type_hist(spark, sf_dir):
     """A21 — histogram group-by (metrics.py:121-128 severity histogram)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-
-
-@register(
-    "minmax_ts",
-    """
-    SELECT min(ts) AS first_ts, max(ts) AS last_ts,
-           CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT)
-             AS span_days
-    FROM events
-    """,
-)
-def q_minmax_ts(spark, sf_dir):
-    """A22/F10 — min/max timestamp + date arithmetic (metrics.py:114-115,
-    comparison.py:122-126)."""
-    e = _t(spark, sf_dir, "events")
-    return e.agg(
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).cast("bigint").alias("span_days"),
-    )
 
 
 @register(
@@ -633,24 +505,6 @@ def q_top_unshipped_orders(spark, sf_dir):
 # ===========================================================================
 # Sorts / limits / windows (SURVEY §2.5)
 # ===========================================================================
-
-@register(
-    "topk_orders",
-    """
-    SELECT o_orderkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-)
-def q_topk_orders(spark, sf_dir):
-    """W1 — order-by + limit → TakeOrderedAndProject top-k (no global
-    sort materialization); total tie-break for determinism."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .select("o_orderkey", "o_totalprice")
-        .limit(10)
-    )
-
 
 @register(
     "pagination",
@@ -746,34 +600,6 @@ def q_join_left_agg(spark, sf_dir):
         F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,2)"))
         .cast("double")
         .alias("total_spent"),
-    )
-
-
-@register(
-    "nation_rollup",
-    """
-    SELECT n_name, count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
-             AS avg_acctbal
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-)
-def q_nation_rollup(spark, sf_dir):
-    """J3-shape — dim join (broadcast: nation is tiny) + rollup agg."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_acctbal"),
-        )
     )
 
 
@@ -1053,31 +879,6 @@ def _minhash_sql(n_hashes: int) -> str:
     """
 
 
-@register(
-    "minhash_sigs",
-    f"""
-    WITH sig AS ({_minhash_sql(simdedup.N_HASHES)})
-    SELECT doc_id, m0, m1,
-           md5(concat_ws('_', {', '.join(f'CAST(m{i} AS VARCHAR)' for i in range(simdedup.N_HASHES))}))
-             AS sig_hash
-    FROM sig
-    """,
-)
-def q_minhash_sigs(spark, sf_dir):
-    """MinHash signatures (16 permutations, one partial-aggregatable pass)
-    — operators/simdedup.minhash_signatures."""
-    d = _t(spark, sf_dir, "documents")
-    sig = simdedup.minhash_signatures(d, k=8)
-    return sig.select(
-        "doc_id",
-        F.col("sig")[0].alias("m0"),
-        F.col("sig")[1].alias("m1"),
-        F.md5(
-            F.concat_ws("_", *[F.col("sig")[i].cast("string") for i in range(simdedup.N_HASHES)])
-        ).alias("sig_hash"),
-    )
-
-
 def _band_sql() -> str:
     rows_per_band = simdedup.N_HASHES // simdedup.N_BANDS
     selects = []
@@ -1190,66 +991,6 @@ def q_neardup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = simdedup.minhash_verified_pairs(d, k=8, threshold=0.5)
     return simdedup.neardup_components(pairs)
-
-
-@register(
-    "ngram_jaccard",
-    """
-    WITH docs AS (SELECT * FROM documents WHERE doc_id < 150),
-    sh AS (
-      SELECT DISTINCT doc_id, substr(text, pos, 8) AS shingle
-      FROM (SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos, text
-            FROM docs WHERE length(text) >= 8)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
-    """,
-)
-def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard similarity pairs —
-    operators/simdedup.ngram_jaccard_pairs (verification tier; at scale
-    runs only on LSH candidates). Restricted to doc_id<150 to bound the
-    pairwise blow-up at oracle scale."""
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    pairs = simdedup.ngram_jaccard_pairs(d, k=8, threshold=0.0)
-    return pairs.where(F.col("jaccard") >= 0.2)
-
-
-@register(
-    "simhash_docs",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
-    ), h AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
-    ), bits AS (
-      SELECT doc_id, unnest(generate_series(0, 31)) AS bit, h FROM h
-    ), per_bit AS (
-      SELECT doc_id, bit,
-             sum(((h >> bit) & 1) * 2 - 1) AS v
-      FROM bits GROUP BY doc_id, bit
-    )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM per_bit GROUP BY doc_id
-    """,
-)
-def q_simhash_docs(spark, sf_dir):
-    """SimHash (32-bit sign-random-projection) fingerprints —
-    operators/simdedup.simhash."""
-    d = _t(spark, sf_dir, "documents")
-    return simdedup.simhash(d, n_bits=32)
 
 
 @register(
@@ -1748,23 +1489,6 @@ def q_clips_rescored_decisions(spark, sf_dir):
     )
 
 
-@register("clips_decisions", None)
-def q_clips_decisions(spark, sf_dir):
-    """Flagship: full quality-filter pipeline (enrich → rules → decide)
-    over the synthetic audio+transcript corpus."""
-    from .pipeline import run_pipeline
-
-    clips = spark.read.parquet(_clips_path(sf_dir))
-    decisions = run_pipeline(spark, clips).decisions
-    # Registry-layer reshape only: the driver canonicalizer sorts columns
-    # with pandas, and array<string> is unhashable there. rules_fired is
-    # already deterministically name-sorted (operators/rules.py
-    # rules_fired_expr), so its comma-join is a stable scalar encoding.
-    return decisions.withColumn(
-        "rules_fired", F.concat_ws(",", F.col("rules_fired"))
-    )
-
-
 @register(
     "clips_findings_summary",
     f"""
@@ -2121,55 +1845,46 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-# Driver-cap hedge: CORRECTNESS_r02 recorded exactly 50 verdicts for 51
-# registered queries, dropping only the LAST-registered one
-# (ann_ivf_topk) even though it runs clean in ~2s at sf0.01 — the
-# observable signature of a 50-entry evaluation cap on the driver side.
-# queries()/oracles() therefore emit an explicitly prioritized order:
-# the previously-unverdicted IVF path and the round-3 additions
-# (categorical describe, histogram) go FIRST, and the queries whose
-# operators already have a second green row elsewhere go LAST
-# (topk_orders — W1 is also covered by top_unshipped_orders;
-# simhash_docs — signatures are transitively exercised by
-# simhash_neardup_pairs; ngram_jaccard — the corpus-wide Jaccard math is
-# also oracle-verified inside minhash_verified_pairs' exact-verify
-# stage), so a cap drops redundant rows, never unique ones.
+# Driver-cap discipline (round-4 curation, VERDICT r3 item 2): the
+# driver records verdicts for at most 50 registered queries, so the
+# registry is kept ≤50 — every registered query gets a FRESH verdict
+# every round. The 15-row overshoot was removed by (a) deleting the
+# doubly-covered redundancies (topk_orders ← top_unshipped_orders;
+# simhash_docs ← simhash_neardup_pairs; ngram_jaccard ←
+# minhash_verified_pairs' exact-verify stage; nation_rollup ←
+# regional_revenue; minhash_sigs ← minhash_lsh_pairs;
+# quantiles_price ← quantiles_price_scalable, identical oracle;
+# clips_decisions ← clips_decisions_labels, same pipeline) and
+# (b) merging the single-row same-table scalar aggregates into four
+# stacked profile queries (events_profile, lineitem_profile,
+# orders_profile, documents_profile) whose oracles preserve every
+# absorbed column hash-exactly. _FIRST still pins the flagship parity
+# oracles and anything modified this round at the head, so even a
+# cap regression can never drop them.
 _FIRST = [
-    "ann_ivf_topk",
+    "clips_decisions_labels",
+    "clips_findings_summary",
+    "ml_recommendations",
+    "clips_rescored_decisions",
     "clips_content_decisions",
     "ann_ivfpq_topk",
-    "clips_rescored_decisions",
-    "audio_fingerprints",
     "audio_neardup_pairs",
-    "audio_neardup_clusters",
-    "audio_features",
-    "vad_segments",
-    "audio_chunks",
-    "audio_resample_stats",
-    "summary_stats_categorical",
-    "histogram_price",
-    "quantiles_price_scalable",
-    "neardup_clusters",
-]
-# nation_rollup joins J3's second green row (regional_revenue covers the
-# same §2 id with a 5-way star); minhash_sigs is transitively exercised
-# by both minhash_lsh_pairs and minhash_verified_pairs
-_LAST = [
-    "topk_orders",
-    "simhash_docs",
-    "ngram_jaccard",
-    "nation_rollup",
-    "minhash_sigs",
+    "embed_neardup",
+    "events_profile",
+    "lineitem_profile",
+    "orders_profile",
+    "documents_profile",
+    "ann_topk",
+    "ann_lsh_topk",
+    "regional_revenue",
+    "cell_missing_pct",
+    "summary_stats_lineitem",
 ]
 
 
 def _ordered_names() -> list[str]:
-    mid = [n for n in _QUERIES if n not in _FIRST and n not in _LAST]
-    return (
-        [n for n in _FIRST if n in _QUERIES]
-        + mid
-        + [n for n in _LAST if n in _QUERIES]
-    )
+    mid = [n for n in _QUERIES if n not in _FIRST]
+    return [n for n in _FIRST if n in _QUERIES] + mid
 
 
 def queries() -> dict[str, QueryFn]:

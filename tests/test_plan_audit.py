@@ -27,7 +27,6 @@ SF_DIR = "/root/testdata/sf0.001"
 # queries whose construction executes work (pipeline persist, k-means
 # fit, fixture generation) — audited by their own dedicated tests
 _EXECUTES_ON_BUILD = {
-    "clips_decisions",
     "clips_decisions_labels",
     "clips_findings_summary",
     "ann_ivf_topk",           # driver-side k-means sample/fit
@@ -43,8 +42,8 @@ _EXECUTES_ON_BUILD = {
 _NLJ_ALLOWED = {
     "ann_topk",
     "embed_neardup",
-    "outlier_count_iqr",   # broadcast (q1, q3) fence row
-    "top_class_share",     # broadcast grand-total row
+    "orders_profile",      # broadcast (q1, q3) fence row
+    "documents_profile",   # broadcast dominant-class row
     "trend_daily",         # broadcast last_day row
     "set_ops_users",       # broadcast per-branch count rows
 }

@@ -414,3 +414,33 @@ def test_ivfpq_adc_only_and_empty_queries(spark, tmp_path):
 
     empty = ann.ivfpq_topk_from_index(spark, idx, e.where("vec_id < 0"), k=2)
     assert empty.count() == 0
+
+
+def test_ivfpq_refine_without_arrow(spark, tmp_path):
+    """Driver-environment pin: the correctness harness verifies rows with
+    Arrow conversion DISABLED, where createDataFrame rejects np.float64 in
+    an array<double> field. The refine path must feed native Python floats
+    (round-3 red row: FIELD_DATA_TYPE_UNACCEPTABLE_WITH_NAME at ann.py
+    refine createDataFrame)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    en = rng.standard_normal((150, 16))
+    en /= np.linalg.norm(en, axis=1, keepdims=True)
+    e = _emb(spark, [(i, [float(x) for x in v]) for i, v in enumerate(en)])
+    idx = str(tmp_path / "pq3")
+    ann.build_ivfpq_index(e, idx, n_centroids=8, pq_m=4, ks=32)
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        out = ann.ivfpq_topk_from_index(
+            spark, idx, e.where("vec_id < 3"), k=2, nprobe=8,
+            refine_emb=e, refine_mult=3,
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
