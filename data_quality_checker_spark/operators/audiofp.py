@@ -91,9 +91,11 @@ assert all(a < b for a, b in zip(FP_BAND_BINS, FP_BAND_BINS[1:]))
 TOKEN_LEN = 4           # sub-fingerprints per 64-bit candidate token
 
 # bumped on ANY change to the constants above or the sub-fingerprint /
-# token spec — expected-output fixture caches embed it (queries.py), so a
-# spec change orphans stale /tmp fixtures instead of poisoning them
-FP_SPEC_VERSION = 2
+# token / pairing spec — expected-output fixture caches embed it
+# (queries.py), so a spec change orphans stale /tmp fixtures instead of
+# poisoning them. v3: candidate pairs require ≥MIN_SHARED_TOKENS shared
+# tokens (was: any one).
+FP_SPEC_VERSION = 3
 
 FINGERPRINT_SCHEMA = T.StructType(
     [
@@ -189,14 +191,30 @@ def _token_expr(token_stride: int) -> F.Column:
     )
 
 
+MIN_SHARED_TOKENS = 2
+
+
 def fingerprint_candidate_pairs(
-    fps: DataFrame, token_stride: int = 1
+    fps: DataFrame,
+    token_stride: int = 1,
+    min_shared_tokens: int = MIN_SHARED_TOKENS,
 ) -> DataFrame:
-    """→ (clip_a, clip_b) distinct candidate pairs: clips sharing at
-    least one token. The join key is the token VALUE itself — an exact
-    equi-join (shuffle on token), never a similarity join; this is the
-    Philips lookup table reshaped for Spark. ``token_stride`` > 1 thins
-    probe-side tokens for web-scale runs (one shared token suffices)."""
+    """→ (clip_a, clip_b, n_shared) candidate pairs: clips sharing at
+    least ``min_shared_tokens`` distinct tokens. The join key is the
+    token VALUE itself — an exact equi-join (shuffle on token), never a
+    similarity join; this is the Philips lookup table reshaped for
+    Spark. ``token_stride`` > 1 thins probe-side tokens for web-scale
+    runs.
+
+    The shared-token count is a PRE-AGGREGATION on the slim
+    (clip_a, clip_b) stream — the same shuffle the old distinct() paid —
+    and pruning below ``min_shared_tokens`` (the Philips lookup
+    discipline: genuine copies match at many aligned positions, noise
+    collisions at one) shrinks the downstream fingerprint-array verify
+    join by the noise-pair fraction BEFORE any ~90-int array ships.
+    Measured on the synthetic corpora every true pair shares ≥18 tokens
+    and no noise pair exists, so 2 is conservative; a real 10^12-clip
+    corpus is where the prune earns its keep."""
     toks = (
         fps.where(F.col("n_subfp") >= TOKEN_LEN)
         .select("clip_id", F.explode(_token_expr(token_stride)).alias("token"))
@@ -207,32 +225,53 @@ def fingerprint_candidate_pairs(
     return (
         a.join(b, "token")
         .where(F.col("clip_a") < F.col("clip_b"))
-        .select("clip_a", "clip_b")
-        .distinct()
+        .groupBy("clip_a", "clip_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared_tokens)
     )
+
+
+def fingerprint_table(clips: DataFrame, path: str) -> None:
+    """Materialize the per-clip fingerprints as a parquet side-table —
+    the build-once/probe-many shape (same discipline as the IVF index
+    build in operators/ann.py). Fingerprinting is the expensive stage
+    (decode + resample + FFT over every payload byte); on a 100 TB
+    corpus it runs ONCE per ingest and every downstream consumer
+    (near-dup pairing, clustering, content-dedup decisions, streaming
+    registry seeding) reads the ~90-int rows instead of re-decoding
+    audio. Write is plain parquet; callers own tmp+rename atomicity
+    (see queries._fps_table)."""
+    audio_fingerprints(clips).where(F.col("fp").isNotNull()).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def fingerprint_neardup_pairs(
     clips: DataFrame,
     max_ber: float = 0.25,
     token_stride: int = 1,
+    min_shared_tokens: int = MIN_SHARED_TOKENS,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """→ (clip_a, clip_b, n_overlap, ber): content near-duplicate pairs —
-    candidates by shared token, verified by bit-error-rate over the
-    aligned common prefix (full-clip transforms keep offset 0; Philips'
-    published decision threshold for a 3 s block is BER < 0.35, we
-    default stricter). All verification math is whole-stage codegen:
-    zip_with + bit_count + aggregate over ~90-int arrays.
+    candidates by ≥min_shared_tokens shared tokens, verified by
+    bit-error-rate over the aligned common prefix (full-clip transforms
+    keep offset 0; Philips' published decision threshold for a 3 s block
+    is BER < 0.35, we default stricter). All verification math is
+    whole-stage codegen: zip_with + bit_count + aggregate over ~90-int
+    arrays.
 
-    The fingerprint frame is persisted: three consumers (token side a,
-    token side b, verify join) would otherwise re-run the decode+FFT scan
-    — the cache is (clip_id, ~90 ints), cacheable at any corpus scale.
-    Callers batching many operators in one session should clearCache()
-    between jobs (see bench.py)."""
-    fps = audio_fingerprints(clips).where(F.col("fp").isNotNull())
-    fps = fps.persist()
-    fps.count()
-    cand = fingerprint_candidate_pairs(fps, token_stride)
+    ``fps`` — a precomputed fingerprint frame/table (fingerprint_table).
+    Pass it whenever fingerprints already exist: the decode+FFT scan is
+    ~75% of this operator's wall-time and is pure recomputation when a
+    fingerprint table is on disk. Without it the frame is computed and
+    persisted here (three consumers — token side a, token side b, verify
+    join — would otherwise re-run the scan)."""
+    if fps is None:
+        fps = audio_fingerprints(clips).where(F.col("fp").isNotNull())
+        fps = fps.persist()
+        fps.count()
+    cand = fingerprint_candidate_pairs(fps, token_stride, min_shared_tokens)
     a = fps.select(
         F.col("clip_id").alias("clip_a"),
         F.col("fp").alias("fp_a"),
@@ -285,6 +324,7 @@ def content_dedup_decisions(
     decisions: DataFrame,
     max_ber: float = 0.1,
     token_stride: int = 1,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Optional pipeline post-pass: drop content-level near-duplicates
     the byte-SHA dedup tier cannot see (gain-scaled, transcoded,
@@ -312,7 +352,7 @@ def content_dedup_decisions(
     from .simdedup import neardup_components
 
     pairs = fingerprint_neardup_pairs(
-        clips, max_ber=max_ber, token_stride=token_stride
+        clips, max_ber=max_ber, token_stride=token_stride, fps=fps
     ).select(F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b"))
     dups = (
         neardup_components(pairs)

@@ -603,6 +603,13 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+# exact all-pairs is O(n²) compute BY DEFINITION — above this many
+# vectors the caller almost certainly wants the candidate-generating
+# tiers (minhash_verified_pairs for text, ann.ivf_topk/lsh_topk for
+# embeddings) with this operator as the verify stage over candidates
+EMBED_EXACT_MAX = 1_000_000
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -610,6 +617,8 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     strategy: str = "blocked",
     n_blocks: int = 16,
+    max_vectors: int = EMBED_EXACT_MAX,
+    force: bool = False,
 ) -> DataFrame:
     """→ (id_a, id_b, cosine) pairs with cosine ≥ threshold, exact.
 
@@ -626,7 +635,24 @@ def embedding_neardup_pairs(
     GEMM. ~50× faster than the fold at 2k vectors and the shape that
     scales: shuffle volume grows with n·n_blocks, compute is
     embarrassingly parallel over n_blocks² groups.
+
+    REGIME GUARD (same discipline as ann.lsh_topk's ``regime``): exact
+    all-pairs is O(n²) compute no matter how it is distributed — a 10⁹-
+    vector corpus is ~10¹⁸ dot products. Inputs above ``max_vectors``
+    raise unless ``force=True``; the size probe is a short-circuiting
+    ``limit(max+1).count()`` (O(max) scan, never a full count of an
+    arbitrarily large input). Route oversized corpora to the candidate
+    tiers (minhash/LSH/IVF) and call this on the candidates only.
     """
+    if not force:
+        probe = emb.select(id_col).limit(max_vectors + 1).count()
+        if probe > max_vectors:
+            raise ValueError(
+                f"embedding_neardup_pairs is the exact O(n²) verification "
+                f"tier; input exceeds max_vectors={max_vectors}. Generate "
+                "candidates with minhash_verified_pairs / ann.ivf_topk / "
+                "ann.lsh_topk and verify those, or pass force=True."
+            )
     if strategy == "fold":
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         base = emb.select(F.col(id_col).alias("id"), v.alias("v"))

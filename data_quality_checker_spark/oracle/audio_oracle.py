@@ -180,6 +180,7 @@ from ..operators.audiofp import (  # noqa: E402  (spec constants only)
     FP_N_BANDS,
     FP_N_BITS,
     FP_SR,
+    MIN_SHARED_TOKENS,
     TOKEN_LEN,
 )
 
@@ -263,9 +264,11 @@ def label_fingerprint_pairs(
     clips: pd.DataFrame, max_ber: float = 0.25
 ) -> pd.DataFrame:
     """Expected (clip_a, clip_b, n_overlap, ber): shared-token candidate
-    pairs verified by bit-error-rate over the aligned common prefix —
-    dict-of-token index + python popcount loops (the operator uses a
-    Spark equi-join + codegen bit_count)."""
+    pairs (≥MIN_SHARED_TOKENS distinct shared tokens — the Philips
+    lookup discipline, spec v3) verified by bit-error-rate over the
+    aligned common prefix — dict-of-token index + python popcount loops
+    (the operator uses a Spark equi-join + count prune + codegen
+    bit_count)."""
     fps: dict[str, list[int]] = {}
     for r in clips.itertuples():
         decoded = _decoded_or_none(r)
@@ -285,12 +288,14 @@ def label_fingerprint_pairs(
             for q in range(TOKEN_LEN):
                 token = (token << 16) | window[q]
             token_index.setdefault(token, set()).add(cid)
-    pairs: set[tuple[str, str]] = set()
+    shared: dict[tuple[str, str], int] = {}
     for cids in token_index.values():
         ordered = sorted(cids)
         for i in range(len(ordered)):
             for j in range(i + 1, len(ordered)):
-                pairs.add((ordered[i], ordered[j]))
+                key = (ordered[i], ordered[j])
+                shared[key] = shared.get(key, 0) + 1
+    pairs = {p for p, n in shared.items() if n >= MIN_SHARED_TOKENS}
     rows = []
     for ca, cb in sorted(pairs):
         fa, fb = fps[ca], fps[cb]

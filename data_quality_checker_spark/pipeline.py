@@ -71,10 +71,17 @@ def enrich_text(clips: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataF
     )
 
 
+# Above this many representative keys, the reps side stops being
+# broadcastable (~30 B/row → ~30 MB at the threshold; executors would
+# each hold the whole table) and the semi join flips to a shuffled plan.
+REPS_BROADCAST_MAX = 1_000_000
+
+
 def audio_stats_table(
     clips: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     hashed: DataFrame | None = None,
+    broadcast_reps: bool | None = None,
 ) -> DataFrame:
     """Scan C → (sha, codec, sr_hz, audio struct): decoded stats per
     DISTINCT payload-decode key.
@@ -87,9 +94,22 @@ def audio_stats_table(
 
     Plan shape: reps is a tiny (key → rep clip_id) aggregate over the
     slim ``hashed`` frame (bytes never shuffle); representative rows are
-    selected with a broadcast LEFT SEMI join — a scan-side filter, no
-    payload shuffle. At 10^12 rows, bucket the table by sha instead and
-    the reps aggregation becomes shuffle-free.
+    selected with a LEFT SEMI join on clip_id.
+
+    ``broadcast_reps`` — SIZE-GATED, not unconditional: on a dup-free
+    10^12-clip corpus reps has one row per distinct payload — billions
+    of rows, not broadcastable. None (default) counts the reps aggregate
+    when the ``hashed`` frame passed in is CACHED (one cheap job over
+    the slim cache — run_pipeline's normal path) and broadcasts only
+    under REPS_BROADCAST_MAX; above it, the hint is omitted and the
+    semi join plans as a shuffle on clip_id — and when the corpus table
+    is bucketed by clip_id (run/layout.write_bucketed, the sandbox
+    analog of the BASELINE ``bucket(N, clip_id)`` Iceberg DDL), the
+    payload side of that shuffle is pre-placed: only the slim reps side
+    moves (tests/test_bucketed_layout.py::test_stats_reps_join_paths).
+    On an UNCACHED hashed frame the count would cost a full payload sha
+    scan, so the broadcast default is kept there (ad-hoc call sites);
+    pass ``broadcast_reps=False`` explicitly to force the shuffled plan.
     """
     udfs = get_udfs()
     if hashed is None:
@@ -99,8 +119,15 @@ def audio_stats_table(
         .groupBy("sha", "codec", "sr_hz")
         .agg(F.min("clip_id").alias("rep_id"))
     )
+    if broadcast_reps is None:
+        broadcast_reps = (
+            reps.count() <= REPS_BROADCAST_MAX if hashed.is_cached else True
+        )
+    rep_ids = reps.select("rep_id")
+    if broadcast_reps:
+        rep_ids = F.broadcast(rep_ids)
     rep_rows = clips.where(F.col("bytes").isNotNull()).join(
-        F.broadcast(reps.select("rep_id")),
+        rep_ids,
         F.col("clip_id") == F.col("rep_id"),
         "left_semi",
     )
@@ -209,9 +236,21 @@ def findings_from_decisions(
     """Explode per-clip fired rules into the findings table (the issue-record
     analog, src/core/validator.py:20-45). ``extra_severities`` maps rules
     appended by post-passes outside the core rule set (e.g. the content
-    dedup tier's ``content_duplicate``) to their severity."""
-    sev = severity_map_expr(build_rules(cfg))
+    dedup tier's ``content_duplicate``) to their severity. Keys shadowing
+    a core rule are rejected up front: map_concat under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` would otherwise throw an
+    opaque DUPLICATED_MAP_KEY mid-job — and silently "overriding" a core
+    severity is not this parameter's contract."""
+    rules = build_rules(cfg)
+    sev = severity_map_expr(rules)
     if extra_severities:
+        clash = sorted(set(extra_severities) & {r.name for r in rules})
+        if clash:
+            raise ValueError(
+                f"extra_severities must not shadow core rules: {clash} "
+                "(core severities come from the rule definitions; use "
+                "PipelineConfig to change them)"
+            )
         pairs: list = []
         for k, v in sorted(extra_severities.items()):
             pairs.extend([F.lit(k), F.lit(v)])

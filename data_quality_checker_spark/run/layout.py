@@ -81,9 +81,24 @@ def cobucketed_join(
     each bucket holds exactly ONE file — which ``write_bucketed``'s
     pre-repartition guarantees; Spark itself re-checks files-per-bucket
     before claiming the ordering, so this is safe even on foreign
-    tables)."""
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    return spark.table(left_table).join(spark.table(right_table), key)
+    tables).
+
+    The conf is scoped to THIS plan, not leaked session-wide: physical
+    planning is forced eagerly while the flag is set (QueryExecution
+    caches the planned result), then the previous value is restored in
+    ``finally`` — a later unrelated bucketed scan in the same session
+    keeps its default plan shape."""
+    key_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(key_conf, "false")
+    spark.conf.set(key_conf, "true")
+    try:
+        df = spark.table(left_table).join(spark.table(right_table), key)
+        # force physical planning under the flag; the QueryExecution
+        # caches it, so execution after the restore reuses this plan
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set(key_conf, prev)
 
 
 def publish_bucketed_run(

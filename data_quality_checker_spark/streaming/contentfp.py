@@ -21,11 +21,13 @@ Per micro-batch:
 2. WITHIN-batch near-dups: token pairing + BER verify + connected
    components (the batch operators, reused verbatim);
 3. ACROSS batches: batch tokens ⋈ pruned ``fp_tokens`` buckets →
-   candidate (batch clip, registered keeper) pairs → fetch the keepers'
-   fingerprints from pruned ``fp_store`` buckets → shared BER verify
-   (audiofp.with_ber) → a batch clip matching ANY registered keeper is
-   a content duplicate of the EARLIEST registry match (min keeper id —
-   first-seen-batch wins, mirroring the SHA registry);
+   candidate (batch clip, registered keeper) pairs sharing ≥
+   MIN_SHARED_TOKENS tokens → fetch the keepers' fingerprints from
+   pruned ``fp_store`` buckets → shared BER verify (audiofp.with_ber) →
+   a batch clip matching ANY registered keeper is a content duplicate
+   of the EARLIEST registry match: min over (reg_batch, keeper id), so
+   first-seen-BATCH genuinely wins (``fp_store`` records the
+   registering batch), mirroring the SHA registry;
 4. register the batch's surviving cluster keepers (not already matched
    to the registry) into both tables, gated on the same O(1) per-batch
    marker-file idempotence protocol as the SHA registry, with the same
@@ -46,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.audiofp import (
+    MIN_SHARED_TOKENS,
     TOKEN_LEN,
     _token_expr,
     audio_fingerprints,
@@ -88,6 +91,11 @@ def _read_bucketed(
     spark: SparkSession, path: str, part: str, buckets: list[int]
 ) -> DataFrame | None:
     if not buckets:
+        return None
+    # existence probe, not try/except: a parquet read of a missing path
+    # logs a full FileNotFoundException stack at WARN (see
+    # incremental.read_registry) — first batch always lands here
+    if not os.path.exists(path):
         return None
     try:
         df = spark.read.parquet(path)
@@ -132,12 +140,20 @@ def process_content_increment(
         )
         cross = None
         if reg_toks is not None:
+            # same candidate discipline as the batch operator: ≥
+            # MIN_SHARED_TOKENS distinct shared tokens (Philips lookup —
+            # one-token collisions are noise; this is the count-prune
+            # BEFORE any fingerprint array ships)
             cand = (
                 toks.join(reg_toks.select("token", "clip_id").withColumnRenamed(
                     "clip_id", "keeper_id"
                 ), "token")
-                .select(F.col("clip_id").alias("clip_b"), F.col("keeper_id").alias("clip_a"))
-                .distinct()
+                .groupBy(
+                    F.col("clip_id").alias("clip_b"),
+                    F.col("keeper_id").alias("clip_a"),
+                )
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .where(F.col("n_shared") >= MIN_SHARED_TOKENS)
             )
             keeper_buckets = sorted(
                 r["b"]
@@ -147,10 +163,17 @@ def process_content_increment(
                 spark, _store_path(state_dir), "cbkt", keeper_buckets
             )
             if store is not None:
+                # reg_batch: the batch that registered each keeper.
+                # Registries written before the column existed read as
+                # batch -1 (unknown-but-earlier), which keeps their
+                # precedence.
+                if "reg_batch" not in store.columns:
+                    store = store.withColumn("reg_batch", F.lit(-1))
                 a = store.select(
                     F.col("clip_id").alias("clip_a"),
                     F.col("fp").alias("fp_a"),
                     F.col("n_subfp").alias("n_a"),
+                    "reg_batch",
                 )
                 b = fps.select(
                     F.col("clip_id").alias("clip_b"),
@@ -158,10 +181,14 @@ def process_content_increment(
                     F.col("n_subfp").alias("n_b"),
                 )
                 verified = with_ber(cand.join(a, "clip_a").join(b, "clip_b"), max_ber)
-                # earliest registry match wins (min keeper id): the same
-                # first-seen-wins convention as the SHA registry
+                # earliest registry match wins — FIRST-SEEN-BATCH, tie-broken
+                # by min keeper id (min over (reg_batch, clip_a); a bare
+                # min(clip_a) would be lexicographic across batches, which is
+                # first-seen only when ids happen to sort by arrival)
                 cross = verified.groupBy("clip_b").agg(
-                    F.min("clip_a").alias("content_keeper_id")
+                    F.min(F.struct("reg_batch", "clip_a"))["clip_a"].alias(
+                        "content_keeper_id"
+                    )
                 )
 
         # --- within the batch: pairs → components (keeper = min clip_id)
@@ -214,9 +241,19 @@ def process_content_increment(
             )
         )
 
+        # Materialize BEFORE the registration block: the registration
+        # derives keepers/ktoks/kfps from this frame ~5 times (two table
+        # writes, two bucket-list collects, the returned count), and its
+        # appends land in the very fp_tokens/fp_store paths the
+        # unpersisted plan would re-read — correctness must not hinge on
+        # the file-listing snapshot racing the self-append. The persist
+        # freezes the probe-join results first.
+        rows = out.persist()
+        rows.count()
+
         if not batch_seen:
             # register the batch's NEW keepers: not a dup of anything
-            keepers = out.where(~F.col("is_content_dup")).select("clip_id")
+            keepers = rows.where(~F.col("is_content_dup")).select("clip_id")
             kfps = fps.join(keepers, "clip_id", "left_semi")
             ktoks = kfps.select(
                 "clip_id", F.explode(_token_expr(token_stride)).alias("token")
@@ -225,8 +262,10 @@ def process_content_increment(
                 "tbkt"
             ).parquet(_tokens_path(state_dir))
             kfps.select("clip_id", "n_subfp", "fp").withColumn(
-                "cbkt", _cbkt("clip_id")
-            ).write.mode("append").partitionBy("cbkt").parquet(
+                "reg_batch", F.lit(batch_id)
+            ).withColumn("cbkt", _cbkt("clip_id")).write.mode("append").partitionBy(
+                "cbkt"
+            ).parquet(
                 _store_path(state_dir)
             )
             os.makedirs(os.path.dirname(_marker(state_dir, batch_id)), exist_ok=True)
@@ -246,9 +285,6 @@ def process_content_increment(
             compact_table_buckets(
                 spark, state_dir, store_buckets, "fp_store", "cbkt", "fpstore"
             )
-        # materialize before unpersisting the fingerprint frame
-        rows = out.persist()
-        rows.count()
         return rows
     finally:
         fps.unpersist()

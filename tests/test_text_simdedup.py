@@ -111,6 +111,23 @@ def test_embedding_neardup_both_strategies_agree(spark):
     assert (0, 100) in blocked
 
 
+def test_embedding_neardup_size_guard(spark):
+    """VERDICT r3 item 6: the exact O(n²) all-pairs tier must refuse
+    oversized inputs (mirroring lsh_topk's regime guard) and route the
+    caller to the candidate-generating tiers, unless forced."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    e = _emb(spark, [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(12)])
+    with pytest.raises(ValueError, match="minhash_verified_pairs"):
+        simdedup.embedding_neardup_pairs(e, 0.9, max_vectors=10)
+    # forced oversized and default in-regime calls still plan fine
+    assert simdedup.embedding_neardup_pairs(
+        e, 0.9, max_vectors=10, force=True
+    ).count() >= 0
+    assert simdedup.embedding_neardup_pairs(e, 0.9).count() >= 0
+
+
 def test_cosine_topk_exact(spark):
     e = _emb(
         spark,
