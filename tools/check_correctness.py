@@ -63,6 +63,10 @@ def main():
     from data_quality_checker_spark.session import get_spark
 
     spark = get_spark(app_name="check-correctness", master="local[8]")
+    # mirror the driver harness: it verifies rows with Arrow conversion
+    # OFF, where createDataFrame rejects numpy scalars that an
+    # Arrow-enabled session silently converts (the r3 ann_ivfpq red row)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
