@@ -198,6 +198,7 @@ def fingerprint_candidate_pairs(
     fps: DataFrame,
     token_stride: int = 1,
     min_shared_tokens: int = MIN_SHARED_TOKENS,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """→ (clip_a, clip_b, n_shared) candidate pairs: clips sharing at
     least ``min_shared_tokens`` distinct tokens. The join key is the
@@ -214,12 +215,33 @@ def fingerprint_candidate_pairs(
     join by the noise-pair fraction BEFORE any ~90-int array ships.
     Measured on the synthetic corpora every true pair shares ≥18 tokens
     and no noise pair exists, so 2 is conservative; a real 10^12-clip
-    corpus is where the prune earns its keep."""
+    corpus is where the prune earns its keep.
+
+    ``max_token_df`` — the hub-skew guard for web-scale corpora: a token
+    whose posting list holds d clips emits d·(d-1)/2 pair rows from a
+    single join key, so ONE pathological token shared by a million clips
+    (a ringtone, a jingle, a codec artifact — the degenerate all-equal
+    silence windows are already dropped in ``_token_expr``) would emit
+    ~5·10^11 rows through one reducer. Capping token document frequency
+    drops these stop-tokens BEFORE the self-join (one extra count agg
+    over the slim token stream); genuine copies still match on their
+    many rare tokens — the inverse-document-frequency argument of the
+    published Philips lookup discipline. Off by default: at test/sf
+    scale every token is rare, and the threshold is a corpus-statistics
+    decision (~10^3 at 10^12 clips)."""
     toks = (
         fps.where(F.col("n_subfp") >= TOKEN_LEN)
         .select("clip_id", F.explode(_token_expr(token_stride)).alias("token"))
         .distinct()
     )
+    if max_token_df is not None:
+        rare = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_token_df)
+            .select("token")
+        )
+        toks = toks.join(rare, "token")
     a = toks.select(F.col("clip_id").alias("clip_a"), "token")
     b = toks.select(F.col("clip_id").alias("clip_b"), "token")
     return (
@@ -252,6 +274,7 @@ def fingerprint_neardup_pairs(
     token_stride: int = 1,
     min_shared_tokens: int = MIN_SHARED_TOKENS,
     fps: DataFrame | None = None,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """→ (clip_a, clip_b, n_overlap, ber): content near-duplicate pairs —
     candidates by ≥min_shared_tokens shared tokens, verified by
@@ -271,7 +294,9 @@ def fingerprint_neardup_pairs(
         fps = audio_fingerprints(clips).where(F.col("fp").isNotNull())
         fps = fps.persist()
         fps.count()
-    cand = fingerprint_candidate_pairs(fps, token_stride, min_shared_tokens)
+    cand = fingerprint_candidate_pairs(
+        fps, token_stride, min_shared_tokens, max_token_df
+    )
     a = fps.select(
         F.col("clip_id").alias("clip_a"),
         F.col("fp").alias("fp_a"),

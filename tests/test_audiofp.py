@@ -217,6 +217,56 @@ def test_content_dedup_decisions_post_pass(spark):
 # plan shape
 
 
+def test_candidate_pairs_hub_token_cap(spark):
+    """max_token_df (the web-scale hub-skew guard): a stop-token shared
+    by every clip must not explode into all-pairs candidates when the
+    cap is on, while a genuine pair sharing many RARE tokens survives.
+    Built from hand-made fp arrays — the guard is pure token algebra, no
+    decode involved."""
+    HUB = [100, 200, 300, 400]  # one shared (non-degenerate) window
+    rows = []
+    # 8 unrelated clips that all contain the hub window then diverge
+    for i in range(8):
+        fp = HUB + [1000 + 17 * i + j * 31 for j in range(8)]
+        rows.append((f"hub_{i:02d}", len(fp), fp))
+    # a true pair: 12 identical (rare) sub-fps, no hub window
+    true = [5000 + 13 * j for j in range(12)]
+    rows.append(("true_a", len(true), true))
+    rows.append(("true_b", len(true), true))
+    fps = spark.createDataFrame(
+        rows, "clip_id string, n_subfp int, fp array<int>"
+    )
+    uncapped = {
+        (r.clip_a, r.clip_b)
+        for r in FP.fingerprint_candidate_pairs(fps).collect()
+    }
+    capped = {
+        (r.clip_a, r.clip_b)
+        for r in FP.fingerprint_candidate_pairs(fps, max_token_df=4).collect()
+    }
+    assert ("true_a", "true_b") in uncapped and ("true_a", "true_b") in capped
+    # hub-only pairs share exactly 1 token — already pruned by
+    # min_shared_tokens; give them a second shared window to prove the
+    # df cap (not the count prune) is what kills them
+    rows2 = [
+        (f"hub_{i:02d}", 16, HUB + [700, 800, 900, 650] + [1000 + 17 * i + j * 31 for j in range(8)])
+        for i in range(8)
+    ] + [("true_a", 12, true), ("true_b", 12, true)]
+    fps2 = spark.createDataFrame(
+        rows2, "clip_id string, n_subfp int, fp array<int>"
+    )
+    uncapped2 = {
+        (r.clip_a, r.clip_b)
+        for r in FP.fingerprint_candidate_pairs(fps2).collect()
+    }
+    capped2 = {
+        (r.clip_a, r.clip_b)
+        for r in FP.fingerprint_candidate_pairs(fps2, max_token_df=4).collect()
+    }
+    assert any(a.startswith("hub") for a, _ in uncapped2)  # 28 hub pairs
+    assert capped2 == {("true_a", "true_b")}
+
+
 def test_fingerprint_plan_map_only(clips_df):
     plan = (
         FP.audio_fingerprints(clips_df)
