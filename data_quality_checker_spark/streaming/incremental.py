@@ -332,15 +332,18 @@ def stream_quality_filter(
     dur_bounds: tuple[float, float] | None = None,
     available_now: bool = True,
     content_dedup: bool = False,
+    max_files_per_trigger: int = 8,
 ):
     """File-source streaming job: every parquet file landing in
     ``input_dir`` is scored exactly once; decisions append to
     ``output_dir`` (one partition per micro-batch). Returns the
     StreamingQuery. ``content_dedup`` adds the cross-batch fingerprint
-    tier (see process_and_write)."""
+    tier (see process_and_write). ``max_files_per_trigger`` sizes the
+    micro-batch (per-tick planning overhead amortizes over bigger
+    triggers; 8 matches the bench corpora's file granularity)."""
     stream = (
         spark.readStream.schema(CLIPS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
