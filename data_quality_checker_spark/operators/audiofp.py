@@ -94,8 +94,11 @@ TOKEN_LEN = 4           # sub-fingerprints per 64-bit candidate token
 # token / pairing spec — expected-output fixture caches embed it
 # (queries.py), so a spec change orphans stale /tmp fixtures instead of
 # poisoning them. v3: candidate pairs require ≥MIN_SHARED_TOKENS shared
-# tokens (was: any one).
-FP_SPEC_VERSION = 3
+# tokens (was: any one). v4: the floor is adaptive —
+# least(MIN_SHARED_TOKENS, tokens(a), tokens(b)) — so a sub-150 ms clip
+# that can only EVER produce one token is not silently exempted from
+# content dedup (the v3 cliff).
+FP_SPEC_VERSION = 4
 
 FINGERPRINT_SCHEMA = T.StructType(
     [
@@ -215,7 +218,12 @@ def fingerprint_candidate_pairs(
     join by the noise-pair fraction BEFORE any ~90-int array ships.
     Measured on the synthetic corpora every true pair shares ≥18 tokens
     and no noise pair exists, so 2 is conservative; a real 10^12-clip
-    corpus is where the prune earns its keep.
+    corpus is where the prune earns its keep. The floor is ADAPTIVE
+    (spec v4): a pair's threshold is least(min_shared_tokens, tokens(a),
+    tokens(b)) — a ~130 ms clip yields exactly one token, and a fixed
+    floor of 2 would silently exempt its transcoded copies from content
+    dedup (same cliff for mostly-silent clips whose degenerate windows
+    `_token_expr` drops, and it widens with token_stride).
 
     ``max_token_df`` — the hub-skew guard for web-scale corpora: a token
     whose posting list holds d clips emits d·(d-1)/2 pair rows from a
@@ -242,14 +250,26 @@ def fingerprint_candidate_pairs(
             .select("token")
         )
         toks = toks.join(rare, "token")
+    # per-clip distinct-token counts for the adaptive floor (slim agg;
+    # computed AFTER the df cap so a stop-token-only clip keeps floor
+    # semantics over its surviving tokens)
+    cnt = toks.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.select(F.col("clip_id").alias("clip_a"), "token")
     b = toks.select(F.col("clip_id").alias("clip_b"), "token")
+    ca = cnt.select(F.col("clip_id").alias("clip_a"), F.col("n_tok").alias("n_tok_a"))
+    cb = cnt.select(F.col("clip_id").alias("clip_b"), F.col("n_tok").alias("n_tok_b"))
     return (
         a.join(b, "token")
         .where(F.col("clip_a") < F.col("clip_b"))
         .groupBy("clip_a", "clip_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared_tokens)
+        .join(ca, "clip_a")
+        .join(cb, "clip_b")
+        .where(
+            F.col("n_shared")
+            >= F.least(F.lit(min_shared_tokens), F.col("n_tok_a"), F.col("n_tok_b"))
+        )
+        .select("clip_a", "clip_b", "n_shared")
     )
 
 

@@ -264,11 +264,12 @@ def label_fingerprint_pairs(
     clips: pd.DataFrame, max_ber: float = 0.25
 ) -> pd.DataFrame:
     """Expected (clip_a, clip_b, n_overlap, ber): shared-token candidate
-    pairs (≥MIN_SHARED_TOKENS distinct shared tokens — the Philips
-    lookup discipline, spec v3) verified by bit-error-rate over the
-    aligned common prefix — dict-of-token index + python popcount loops
-    (the operator uses a Spark equi-join + count prune + codegen
-    bit_count)."""
+    pairs (≥ least(MIN_SHARED_TOKENS, tokens(a), tokens(b)) distinct
+    shared tokens — the Philips lookup discipline with the spec-v4
+    adaptive floor for clips short enough to yield a single token)
+    verified by bit-error-rate over the aligned common prefix —
+    dict-of-token index + python popcount loops (the operator uses a
+    Spark equi-join + count prune + codegen bit_count)."""
     fps: dict[str, list[int]] = {}
     for r in clips.itertuples():
         decoded = _decoded_or_none(r)
@@ -279,7 +280,9 @@ def label_fingerprint_pairs(
         if subfps:
             fps[r.clip_id] = subfps
     token_index: dict[int, set[str]] = {}
+    n_tokens: dict[str, int] = {}
     for cid, subfps in fps.items():
+        clip_tokens: set[int] = set()
         for p in range(len(subfps) - TOKEN_LEN + 1):
             window = subfps[p : p + TOKEN_LEN]
             if len(set(window)) == 1:  # degenerate (silence/constant) window
@@ -287,7 +290,10 @@ def label_fingerprint_pairs(
             token = 0
             for q in range(TOKEN_LEN):
                 token = (token << 16) | window[q]
+            clip_tokens.add(token)
             token_index.setdefault(token, set()).add(cid)
+        if clip_tokens:
+            n_tokens[cid] = len(clip_tokens)
     shared: dict[tuple[str, str], int] = {}
     for cids in token_index.values():
         ordered = sorted(cids)
@@ -295,7 +301,11 @@ def label_fingerprint_pairs(
             for j in range(i + 1, len(ordered)):
                 key = (ordered[i], ordered[j])
                 shared[key] = shared.get(key, 0) + 1
-    pairs = {p for p, n in shared.items() if n >= MIN_SHARED_TOKENS}
+    pairs = {
+        (a, b)
+        for (a, b), n in shared.items()
+        if n >= min(MIN_SHARED_TOKENS, n_tokens[a], n_tokens[b])
+    }
     rows = []
     for ca, cb in sorted(pairs):
         fa, fb = fps[ca], fps[cb]

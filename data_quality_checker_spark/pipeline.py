@@ -120,9 +120,16 @@ def audio_stats_table(
         .agg(F.min("clip_id").alias("rep_id"))
     )
     if broadcast_reps is None:
-        broadcast_reps = (
-            reps.count() <= REPS_BROADCAST_MAX if hashed.is_cached else True
-        )
+        # short-circuiting probe, not a full count (the same discipline
+        # as simdedup's size guard): CollectLimit stops the reduce side
+        # after MAX+1 groups, so on the 10^12-row corpus the gate itself
+        # never materializes the full reps aggregate it is guarding
+        # against broadcasting
+        if hashed.is_cached:
+            probe = reps.select("rep_id").limit(REPS_BROADCAST_MAX + 1).count()
+            broadcast_reps = probe <= REPS_BROADCAST_MAX
+        else:
+            broadcast_reps = True
     rep_ids = reps.select("rep_id")
     if broadcast_reps:
         rep_ids = F.broadcast(rep_ids)

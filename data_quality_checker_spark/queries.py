@@ -1049,9 +1049,14 @@ def q_simhash_neardup_pairs(spark, sf_dir):
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs —
     operators/simdedup.embedding_neardup_pairs (brute verification form;
-    ANN bucketing is the scale path)."""
+    ANN bucketing is the scale path). force=True: the sf corpora are
+    in-regime by construction, and the size-guard probe executes a
+    limit+count job at DataFrame-BUILD time — which the registry's
+    plan-only contract (test_plan_audit) forbids and the bench would
+    book as query cost; the guard itself is covered by
+    test_embedding_neardup_size_guard."""
     e = _t(spark, sf_dir, "embeddings")
-    return simdedup.embedding_neardup_pairs(e, threshold=0.35)
+    return simdedup.embedding_neardup_pairs(e, threshold=0.35, force=True)
 
 
 @register(

@@ -87,7 +87,16 @@ def cobucketed_join(
     planning is forced eagerly while the flag is set (QueryExecution
     caches the planned result), then the previous value is restored in
     ``finally`` — a later unrelated bucketed scan in the same session
-    keeps its default plan shape."""
+    keeps its default plan shape.
+
+    CAVEAT: the scoping holds only for executing the RETURNED frame
+    directly. Deriving a new DataFrame from it (``.groupBy``/``.select``
+    /...) builds a NEW QueryExecution after the flag is restored, and
+    Catalyst re-inserts the per-partition sorts; an AQE stage replan can
+    do the same. Callers composing further transformations on a
+    sort-free bucketed join should set the conf themselves for the
+    session (documented sticky behavior) rather than rely on this
+    helper's plan capture."""
     key_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     prev = spark.conf.get(key_conf, "false")
     spark.conf.set(key_conf, "true")

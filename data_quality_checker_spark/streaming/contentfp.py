@@ -22,7 +22,9 @@ Per micro-batch:
    components (the batch operators, reused verbatim);
 3. ACROSS batches: batch tokens ⋈ pruned ``fp_tokens`` buckets →
    candidate (batch clip, registered keeper) pairs sharing ≥
-   MIN_SHARED_TOKENS tokens → fetch the keepers' fingerprints from
+   least(MIN_SHARED_TOKENS, tokens(clip), tokens(keeper)) tokens (the
+   spec-v4 adaptive floor; keeper token counts stored as ``n_tok`` at
+   registration) → fetch the keepers' fingerprints from
    pruned ``fp_store`` buckets → shared BER verify (audiofp.with_ber) →
    a batch clip matching ANY registered keeper is a content duplicate
    of the EARLIEST registry match: min over (reg_batch, keeper id), so
@@ -140,10 +142,13 @@ def process_content_increment(
         )
         cross = None
         if reg_toks is not None:
-            # same candidate discipline as the batch operator: ≥
-            # MIN_SHARED_TOKENS distinct shared tokens (Philips lookup —
-            # one-token collisions are noise; this is the count-prune
-            # BEFORE any fingerprint array ships)
+            # same candidate discipline as the batch operator: shared
+            # distinct tokens ≥ least(MIN_SHARED_TOKENS, tokens(batch
+            # clip), tokens(keeper)) — the spec-v4 adaptive floor; the
+            # fixed-MIN part of the prune runs BEFORE any fingerprint
+            # array ships, the keeper-side least() needs the keeper's
+            # global token count, which registration stores as ``n_tok``
+            # (pruned bucket reads cannot reconstruct it)
             cand = (
                 toks.join(reg_toks.select("token", "clip_id").withColumnRenamed(
                     "clip_id", "keeper_id"
@@ -153,7 +158,6 @@ def process_content_increment(
                     F.col("keeper_id").alias("clip_a"),
                 )
                 .agg(F.count(F.lit(1)).alias("n_shared"))
-                .where(F.col("n_shared") >= MIN_SHARED_TOKENS)
             )
             keeper_buckets = sorted(
                 r["b"]
@@ -164,23 +168,43 @@ def process_content_increment(
             )
             if store is not None:
                 # reg_batch: the batch that registered each keeper.
-                # Registries written before the column existed read as
-                # batch -1 (unknown-but-earlier), which keeps their
-                # precedence.
+                # Registries written before the columns existed read as
+                # batch -1 (unknown-but-earlier, keeps precedence) and
+                # n_tok null (treated as ≥ MIN — the pre-v4 behavior).
                 if "reg_batch" not in store.columns:
                     store = store.withColumn("reg_batch", F.lit(-1))
+                if "n_tok" not in store.columns:
+                    store = store.withColumn("n_tok", F.lit(None).cast("long"))
+                bcnt = toks.groupBy("clip_id").agg(
+                    F.count(F.lit(1)).alias("n_tok_b")
+                ).withColumnRenamed("clip_id", "clip_b")
                 a = store.select(
                     F.col("clip_id").alias("clip_a"),
                     F.col("fp").alias("fp_a"),
                     F.col("n_subfp").alias("n_a"),
                     "reg_batch",
+                    F.coalesce(F.col("n_tok"), F.lit(MIN_SHARED_TOKENS)).alias(
+                        "n_tok_a"
+                    ),
                 )
                 b = fps.select(
                     F.col("clip_id").alias("clip_b"),
                     F.col("fp").alias("fp_b"),
                     F.col("n_subfp").alias("n_b"),
                 )
-                verified = with_ber(cand.join(a, "clip_a").join(b, "clip_b"), max_ber)
+                pruned = (
+                    cand.join(a, "clip_a")
+                    .join(bcnt, "clip_b")
+                    .where(
+                        F.col("n_shared")
+                        >= F.least(
+                            F.lit(MIN_SHARED_TOKENS),
+                            F.col("n_tok_a"),
+                            F.col("n_tok_b"),
+                        )
+                    )
+                )
+                verified = with_ber(pruned.join(b, "clip_b"), max_ber)
                 # earliest registry match wins — FIRST-SEEN-BATCH, tie-broken
                 # by min keeper id (min over (reg_batch, clip_a); a bare
                 # min(clip_a) would be lexicographic across batches, which is
@@ -261,7 +285,17 @@ def process_content_increment(
             ktoks.withColumn("tbkt", _tbkt("token")).write.mode("append").partitionBy(
                 "tbkt"
             ).parquet(_tokens_path(state_dir))
-            kfps.select("clip_id", "n_subfp", "fp").withColumn(
+            # n_tok: the keeper's GLOBAL distinct-token count, stored so
+            # later batches can apply the adaptive candidate floor
+            # (least(MIN, n_tok_keeper, n_tok_probe)) over pruned bucket
+            # reads; left join keeps token-less keepers (never token-
+            # matchable, n_tok null → treated as ≥ MIN)
+            ktok_cnt = ktoks.groupBy("clip_id").agg(
+                F.count(F.lit(1)).alias("n_tok")
+            )
+            kfps.select("clip_id", "n_subfp", "fp").join(
+                ktok_cnt, "clip_id", "left"
+            ).withColumn(
                 "reg_batch", F.lit(batch_id)
             ).withColumn("cbkt", _cbkt("clip_id")).write.mode("append").partitionBy(
                 "cbkt"

@@ -267,6 +267,44 @@ def test_candidate_pairs_hub_token_cap(spark):
     assert capped2 == {("true_a", "true_b")}
 
 
+def test_candidate_pairs_adaptive_floor(spark):
+    """Spec v4: a clip short enough to yield exactly ONE token must still
+    pair with its content copy — the floor is least(MIN_SHARED_TOKENS,
+    tokens(a), tokens(b)), not a fixed 2 (the v3 cliff: min-length clips
+    were silently exempt from content dedup)."""
+    tiny = [100, 200, 300, 400]  # n_subfp=4 → exactly 1 token
+    rows = [
+        ("tiny_a", 4, tiny),
+        ("tiny_b", 4, tiny),  # exact content copy
+        ("long_x", 12, [5000 + 13 * j for j in range(12)]),
+        ("long_y", 12, [9000 + 11 * j for j in range(12)]),  # unrelated
+    ]
+    fps = spark.createDataFrame(rows, "clip_id string, n_subfp int, fp array<int>")
+    got = {
+        (r.clip_a, r.clip_b, r.n_shared)
+        for r in FP.fingerprint_candidate_pairs(fps).collect()
+    }
+    assert got == {("tiny_a", "tiny_b", 1)}
+    # ...and the eager labeler applies the identical floor: a one-token
+    # pair with BER 0 survives end-to-end on constructed PCM
+    sr = FP.FP_SR
+    x = _i16(_speechlike(7, secs=0.13, sr=sr))  # ~2 frames → few subfps
+    n_sub = len(O._subfps_for_clip(x.astype(np.int64)))
+    if n_sub >= FP.TOKEN_LEN:  # short enough to be the edge, long enough to token
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "clip_id": ["t1", "t2"],
+                "bytes": [encode_wav(x, sr)] * 2,
+                "codec": ["wav", "wav"],
+                "sr_hz": [sr, sr],
+            }
+        )
+        lab = O.label_fingerprint_pairs(pdf)
+        assert list(zip(lab.clip_a, lab.clip_b)) == [("t1", "t2")]
+
+
 def test_fingerprint_plan_map_only(clips_df):
     plan = (
         FP.audio_fingerprints(clips_df)
@@ -289,8 +327,11 @@ def test_neardup_pairs_plan_equijoin_only(clips_df):
     # pairs are dropped before any ~90-int array ships
     import re
 
-    assert re.search(r"Filter .*n_shared.* >= 2", plan), (
-        "token-count prune filter missing:\n" + plan[:2000]
+    # Catalyst may keep the prune as a Filter node or push it into a
+    # join condition; either way the predicate must be present upstream
+    # of the BER verify
+    assert re.search(r"n_shared#\d+L? >= least\(2", plan), (
+        "token-count prune predicate missing:\n" + plan[:2000]
     )
     assert "partial_count" in plan or "partial" in plan.lower(), (
         "shared-token count should partial-aggregate map-side:\n" + plan[:2000]

@@ -170,6 +170,7 @@ def test_stats_reps_join_paths(spark, clips_pdf, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         hashed.unpersist()
+        spark.catalog.clearCache()  # hashed_t is persisted mid-test
         spark.sql("DROP TABLE IF EXISTS dqc_test_reps.clips_b")
         spark.sql("DROP DATABASE IF EXISTS dqc_test_reps")
 
