@@ -91,6 +91,13 @@ def main():
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
+        # fixture-backed oracles read pandas-labeler parquet pinned to
+        # sf0.01 (the driver's contract sf); comparing them at another
+        # sf is meaningless by construction, not a failure
+        if "sf0.01" in oracles[name] and "sf0.01" not in os.path.normpath(sf_dir):
+            print(f"skip  {name}: fixture oracle pinned to sf0.01 "
+                  f"(spark ran clean: {len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
