@@ -165,6 +165,84 @@ def audio_fingerprints(clips: DataFrame) -> DataFrame:
     return clips.select("clip_id", f.alias("f")).select("clip_id", "f.*")
 
 
+def payload_reps(clips: DataFrame) -> DataFrame:
+    """→ (clip_id, rep_id): every clip mapped to the representative
+    (min clip_id) of its distinct (sha1(bytes), codec, sr_hz) decode
+    key — the decode-once-per-distinct-payload discipline's key map.
+    One JVM-only sha1 pass + a slim self-join; the payload never
+    shuffles. Null key components group null-safely (matching groupBy
+    semantics), so byte-identical exact duplicates always share one
+    representative."""
+    keyed = clips.select(
+        "clip_id", F.sha1("bytes").alias("_k"), "codec", "sr_hz"
+    )
+    reps = (
+        keyed.groupBy("_k", "codec", "sr_hz")
+        .agg(F.min("clip_id").alias("rep_id"))
+        .select(
+            F.col("_k").alias("_k2"),
+            F.col("codec").alias("_codec2"),
+            F.col("sr_hz").alias("_sr2"),
+            "rep_id",
+        )
+    )
+    return keyed.join(
+        reps,
+        F.col("_k").eqNullSafe(F.col("_k2"))
+        & F.col("codec").eqNullSafe(F.col("_codec2"))
+        & F.col("sr_hz").eqNullSafe(F.col("_sr2")),
+    ).select("clip_id", "rep_id")
+
+
+def audio_fingerprints_dedup(clips: DataFrame) -> DataFrame:
+    """Same output frame as ``audio_fingerprints``, but the decode +
+    resample + FFT runs ONCE per distinct (sha1(bytes), codec, sr_hz)
+    payload key — the decode-once-per-distinct-payload discipline of
+    pipeline.audio_stats_table, applied to the fingerprint scan. The
+    fingerprint is a pure function of exactly that key, so byte-identical
+    payloads share one by construction; on dup-heavy corpora (the regime
+    content dedup exists for) the expensive scan shrinks by the dup
+    factor and the per-clip frame is recovered with a slim equi-join
+    (~360 B fp rows, never the payload).
+
+    Plan shape: one JVM-only sha1 pass builds the key frame; min(clip_id)
+    per key elects a representative; representative rows are selected
+    with a left-semi join (scan-side filter, payload never shuffles) and
+    fingerprinted map-only; the (key → fp) frame joins back to the slim
+    (clip_id, key) frame NULL-SAFELY — the decode UDF tolerates null
+    codec/sr_hz (WAV headers carry the rate) and null-payload groups
+    carry the null fingerprint row, so every key component must group
+    and join by null equality, exactly like groupBy does."""
+    keyed = clips.select(
+        "clip_id", F.sha1("bytes").alias("_k"), "codec", "sr_hz"
+    )
+    reps = keyed.groupBy("_k", "codec", "sr_hz").agg(
+        F.min("clip_id").alias("rep_id")
+    )
+    rep_rows = clips.join(
+        reps.select("rep_id"), F.col("clip_id") == F.col("rep_id"), "left_semi"
+    )
+    key_fps = (
+        reps.join(
+            audio_fingerprints(rep_rows).withColumnRenamed("clip_id", "rep_id"),
+            "rep_id",
+        ).select(
+            F.col("_k").alias("_k2"),
+            F.col("codec").alias("_codec2"),
+            F.col("sr_hz").alias("_sr2"),
+            "n_subfp",
+            "fp",
+        )
+    )
+    return keyed.join(
+        key_fps,
+        F.col("_k").eqNullSafe(F.col("_k2"))
+        & F.col("codec").eqNullSafe(F.col("_codec2"))
+        & F.col("sr_hz").eqNullSafe(F.col("_sr2")),
+        "left",
+    ).select("clip_id", "n_subfp", "fp")
+
+
 def _token_expr(token_stride: int) -> F.Column:
     """Catalyst-only token construction: every ``token_stride``-th window
     of TOKEN_LEN consecutive sub-fingerprints packed into one BIGINT
@@ -281,9 +359,12 @@ def fingerprint_table(clips: DataFrame, path: str) -> None:
     corpus it runs ONCE per ingest and every downstream consumer
     (near-dup pairing, clustering, content-dedup decisions, streaming
     registry seeding) reads the ~90-int rows instead of re-decoding
-    audio. Write is plain parquet; callers own tmp+rename atomicity
-    (see queries._fps_table)."""
-    audio_fingerprints(clips).where(F.col("fp").isNotNull()).write.mode(
+    audio. The build itself decodes once per DISTINCT payload
+    (audio_fingerprints_dedup) — at ingest the corpus still carries its
+    duplicates, which is precisely when the rep discipline pays. Write
+    is plain parquet; callers own tmp+rename atomicity (see
+    queries._fps_table)."""
+    audio_fingerprints_dedup(clips).where(F.col("fp").isNotNull()).write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -311,7 +392,7 @@ def fingerprint_neardup_pairs(
     persisted here (three consumers — token side a, token side b, verify
     join — would otherwise re-run the scan)."""
     if fps is None:
-        fps = audio_fingerprints(clips).where(F.col("fp").isNotNull())
+        fps = audio_fingerprints_dedup(clips).where(F.col("fp").isNotNull())
         fps = fps.persist()
         fps.count()
     cand = fingerprint_candidate_pairs(
@@ -390,19 +471,51 @@ def content_dedup_decisions(
     truthful, and the keeper conventions coincide (min clip_id in both
     tiers), so no keeper is ever dropped by the other tier.
 
-    Scale shape: one fingerprint scan (map-only Arrow), token equi-join
-    candidate generation, BER codegen verify, then label propagation
-    over verified pairs only — the decisions join is a slim left join on
-    clip_id."""
+    Scale shape — REPRESENTATIVE-LEVEL (the same collapse as the text
+    tier's minhash_verified_pairs_collapsed): byte-identical clips share
+    a fingerprint by construction, so pairing runs only between the
+    distinct-payload representatives (payload_reps) and each verdict
+    expands back over the exact-dup group by the key map. A d-clip
+    exact-dup clique contributes ZERO intra-clique pair rows instead of
+    d(d-1)/2, and the fingerprint scan decodes once per distinct
+    payload. The expansion preserves the per-clip semantics exactly: the
+    group's min clip_id IS its representative, and the component
+    keeper's min-over-reps IS the min over all member clips, so
+    flag(clip) = clip_id != keeper(rep(clip)) reproduces the per-clip
+    component labeling (BER-0 intra-group edges included) without
+    materializing it."""
     from .simdedup import neardup_components
 
+    keys = payload_reps(clips)
+    rep_ids = keys.select(F.col("rep_id").alias("clip_id")).distinct()
+    if fps is not None:
+        rep_fps = fps.join(rep_ids, "clip_id", "left_semi")
+        persisted = None
+    else:
+        rep_rows = clips.join(rep_ids, "clip_id", "left_semi")
+        rep_fps = audio_fingerprints(rep_rows).where(F.col("fp").isNotNull())
+        persisted = rep_fps.persist()
+        persisted.count()
+        rep_fps = persisted
     pairs = fingerprint_neardup_pairs(
-        clips, max_ber=max_ber, token_stride=token_stride, fps=fps
+        clips, max_ber=max_ber, token_stride=token_stride, fps=rep_fps
     ).select(F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b"))
+    comp = neardup_components(pairs).select(
+        F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("_keeper")
+    )
+    # expand rep verdicts over their exact-dup groups: keeper defaults
+    # to the rep itself (groups with no cross-content match still flag
+    # their non-rep members — those pairs were BER-0 edges in the
+    # per-clip formulation); restrict to decodable groups (rep present
+    # in the fingerprint frame)
     dups = (
-        neardup_components(pairs)
-        .where(F.col("is_dup"))
-        .select(F.col("doc_id").alias("clip_id"), F.lit(True).alias("_content_dup"))
+        keys.join(
+            rep_fps.select(F.col("clip_id").alias("rep_id")), "rep_id", "left_semi"
+        )
+        .join(comp, "rep_id", "left")
+        .withColumn("_keeper", F.coalesce("_keeper", "rep_id"))
+        .where(F.col("clip_id") != F.col("_keeper"))
+        .select("clip_id", F.lit(True).alias("_content_dup"))
     )
     out = decisions.join(dups, "clip_id", "left")
     is_dup = F.coalesce(F.col("_content_dup"), F.lit(False))

@@ -54,6 +54,7 @@ from ..operators.audiofp import (
     TOKEN_LEN,
     _token_expr,
     audio_fingerprints,
+    payload_reps,
     fingerprint_candidate_pairs,
     with_ber,
 )
@@ -116,13 +117,30 @@ def process_content_increment(
 ) -> DataFrame:
     """Score one micro-batch for content duplicates within AND across
     batches → (clip_id, content_keeper_id, is_content_dup) for every
-    batch clip with a decodable fingerprint. Idempotent per batch_id."""
+    batch clip with a decodable fingerprint. Idempotent per batch_id.
+
+    The whole tier runs at REPRESENTATIVE level (payload_reps: one rep
+    per distinct (sha1, codec, sr_hz) key — the same collapse as
+    content_dedup_decisions): byte-identical clips share a fingerprint
+    by construction, so only reps are decoded, tokenized, probed against
+    the registry and clustered; verdicts expand back over each exact-dup
+    group at the end (the group's min clip_id IS its rep, so
+    flag(clip) = clip_id != keeper(rep) reproduces the per-clip
+    labeling, BER-0 intra-group edges included). A dup-heavy batch — the
+    design regime — costs one decode per distinct payload and zero
+    intra-group pair rows."""
     recover_table_compaction(state_dir, "fp_tokens", "tbkt", "fptok")
     recover_table_compaction(state_dir, "fp_store", "cbkt", "fpstore")
     batch_seen = os.path.exists(_marker(state_dir, batch_id))
 
+    keys = payload_reps(new_clips)
+    rep_rows = new_clips.join(
+        keys.select(F.col("rep_id").alias("clip_id")).distinct(),
+        "clip_id",
+        "left_semi",
+    )
     fps = (
-        audio_fingerprints(new_clips)
+        audio_fingerprints(rep_rows)
         .where(F.col("fp").isNotNull() & (F.col("n_subfp") >= TOKEN_LEN))
         .persist()
     )
@@ -242,7 +260,7 @@ def process_content_increment(
 
         # --- merge: a registry match beats local clustering (the content
         # existed before this batch); else the local cluster keeper rules
-        out = (
+        rep_out = (
             fps.select("clip_id")
             .join(local, "clip_id", "left")
             .join(
@@ -260,6 +278,17 @@ def process_content_increment(
                     "content_keeper_id", "local_keeper_id", "clip_id"
                 ).alias("content_keeper_id"),
             )
+        )
+        # --- expand rep verdicts over their exact-dup groups: a non-rep
+        # member's keeper is its rep's keeper (which is the rep itself
+        # when the rep matched nothing), so exact dups of a keeper are
+        # content duplicates OF that keeper — identical to the per-clip
+        # formulation's BER-0 edges
+        out = (
+            keys.join(
+                rep_out.withColumnRenamed("clip_id", "rep_id"), "rep_id"
+            )
+            .select("clip_id", "content_keeper_id")
             .withColumn(
                 "is_content_dup", F.col("content_keeper_id") != F.col("clip_id")
             )

@@ -217,6 +217,34 @@ def test_content_dedup_decisions_post_pass(spark):
 # plan shape
 
 
+def test_fingerprints_dedup_matches_plain(spark, clips_pdf):
+    """audio_fingerprints_dedup (one decode per distinct payload key)
+    must produce EXACTLY the per-clip frame of the plain per-clip scan —
+    including null rows for null/undecodable payloads — and its plan
+    must decode only representative rows (left-semi selection, payload
+    never shuffled to Python twice)."""
+    clips = spark.createDataFrame(clips_pdf.drop(columns=["defect"]))
+
+    def frame(df):
+        return {
+            (r.clip_id, r.n_subfp, tuple(r.fp) if r.fp is not None else None)
+            for r in df.collect()
+        }
+
+    plain = frame(FP.audio_fingerprints(clips))
+    dedup = frame(FP.audio_fingerprints_dedup(clips))
+    assert dedup == plain
+    plan = (
+        FP.audio_fingerprints_dedup(clips)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan[:1500]
+    # exactly one Arrow pass (the rep decode); the join-back is JVM-only
+    assert plan.count("ArrowEvalPython") == 1, plan[:1500]
+
+
 def test_candidate_pairs_hub_token_cap(spark):
     """max_token_df (the web-scale hub-skew guard): a stop-token shared
     by every clip must not explode into all-pairs candidates when the

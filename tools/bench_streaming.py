@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--per-trigger", type=int, default=4)
+    ap.add_argument(
+        "--replicate", type=int, default=1,
+        help="replicate the corpus N times with remapped clip_ids "
+        "(byte-identical copies → dup-heavy regime: exercises the "
+        "rep-deduplicated fingerprint scan and the SHA registry)",
+    )
     args = ap.parse_args()
 
     from data_quality_checker_spark.queries import _clips_path
@@ -45,7 +51,20 @@ def main() -> None:
         app_name="dqc-stream-bench", master=f"local[{args.cores}]",
         shuffle_partitions=args.cores,
     )
+    from pyspark.sql import functions as F
+
     clips = spark.read.parquet(_clips_path(args.sf_dir))
+    if args.replicate > 1:
+        parts = [
+            clips.withColumn(
+                "clip_id", F.concat(F.col("clip_id"), F.lit(f"_r{i:02d}"))
+            )
+            for i in range(args.replicate)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        clips = df
     n = clips.count()
     root = tempfile.mkdtemp(prefix="dqc_streambench_")
     inp = os.path.join(root, "in")
