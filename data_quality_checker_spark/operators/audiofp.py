@@ -194,7 +194,9 @@ def payload_reps(clips: DataFrame) -> DataFrame:
     ).select("clip_id", "rep_id")
 
 
-def audio_fingerprints_dedup(clips: DataFrame) -> DataFrame:
+def audio_fingerprints_dedup(
+    clips: DataFrame, keys: DataFrame | None = None
+) -> DataFrame:
     """Same output frame as ``audio_fingerprints``, but the decode +
     resample + FFT runs ONCE per distinct (sha1(bytes), codec, sr_hz)
     payload key — the decode-once-per-distinct-payload discipline of
@@ -205,42 +207,26 @@ def audio_fingerprints_dedup(clips: DataFrame) -> DataFrame:
     factor and the per-clip frame is recovered with a slim equi-join
     (~360 B fp rows, never the payload).
 
-    Plan shape: one JVM-only sha1 pass builds the key frame; min(clip_id)
-    per key elects a representative; representative rows are selected
-    with a left-semi join (scan-side filter, payload never shuffles) and
-    fingerprinted map-only; the (key → fp) frame joins back to the slim
-    (clip_id, key) frame NULL-SAFELY — the decode UDF tolerates null
-    codec/sr_hz (WAV headers carry the rate) and null-payload groups
-    carry the null fingerprint row, so every key component must group
-    and join by null equality, exactly like groupBy does."""
-    keyed = clips.select(
-        "clip_id", F.sha1("bytes").alias("_k"), "codec", "sr_hz"
-    )
-    reps = keyed.groupBy("_k", "codec", "sr_hz").agg(
-        F.min("clip_id").alias("rep_id")
-    )
+    Plan shape: payload_reps builds the (clip → rep) key map (one
+    JVM-only sha1 pass, null-safe key grouping — the decode UDF
+    tolerates null codec/sr_hz, WAV headers carry the rate);
+    representative rows are selected with a left-semi join (scan-side
+    filter, payload never shuffles) and fingerprinted map-only; the
+    rep fingerprints join back over the slim map on rep_id. Null-payload
+    and undecodable groups inherit their rep's null fingerprint row,
+    exactly like the plain scan. ``keys`` — pass a precomputed
+    payload_reps frame to share the sha pass with other consumers."""
+    if keys is None:
+        keys = payload_reps(clips)
     rep_rows = clips.join(
-        reps.select("rep_id"), F.col("clip_id") == F.col("rep_id"), "left_semi"
+        keys.select(F.col("rep_id").alias("clip_id")).distinct(),
+        "clip_id",
+        "left_semi",
     )
-    key_fps = (
-        reps.join(
-            audio_fingerprints(rep_rows).withColumnRenamed("clip_id", "rep_id"),
-            "rep_id",
-        ).select(
-            F.col("_k").alias("_k2"),
-            F.col("codec").alias("_codec2"),
-            F.col("sr_hz").alias("_sr2"),
-            "n_subfp",
-            "fp",
-        )
+    rep_fps = audio_fingerprints(rep_rows).withColumnRenamed("clip_id", "rep_id")
+    return keys.join(rep_fps, "rep_id", "left").select(
+        "clip_id", "n_subfp", "fp"
     )
-    return keyed.join(
-        key_fps,
-        F.col("_k").eqNullSafe(F.col("_k2"))
-        & F.col("codec").eqNullSafe(F.col("_codec2"))
-        & F.col("sr_hz").eqNullSafe(F.col("_sr2")),
-        "left",
-    ).select("clip_id", "n_subfp", "fp")
 
 
 def _token_expr(token_stride: int) -> F.Column:
@@ -359,14 +345,31 @@ def fingerprint_table(clips: DataFrame, path: str) -> None:
     corpus it runs ONCE per ingest and every downstream consumer
     (near-dup pairing, clustering, content-dedup decisions, streaming
     registry seeding) reads the ~90-int rows instead of re-decoding
-    audio. The build itself decodes once per DISTINCT payload
-    (audio_fingerprints_dedup) — at ingest the corpus still carries its
-    duplicates, which is precisely when the rep discipline pays. Write
-    is plain parquet; callers own tmp+rename atomicity (see
-    queries._fps_table)."""
-    audio_fingerprints_dedup(clips).where(F.col("fp").isNotNull()).write.mode(
-        "overwrite"
-    ).parquet(path)
+    audio. The build decodes once per DISTINCT payload — at ingest the
+    corpus still carries its duplicates, which is precisely when the rep
+    discipline pays — and the rows carry ``rep_id`` (the clip's
+    payload_reps representative) so consumers needing the exact-dup
+    group map (content_dedup_decisions' rep-level collapse) read it here
+    instead of re-hashing the payload. Write is plain parquet; callers
+    own tmp+rename atomicity (see queries._fps_table)."""
+    keys = payload_reps(clips).persist()
+    keys.count()
+    try:
+        rep_rows = clips.join(
+            keys.select(F.col("rep_id").alias("clip_id")).distinct(),
+            "clip_id",
+            "left_semi",
+        )
+        rep_fps = audio_fingerprints(rep_rows).withColumnRenamed(
+            "clip_id", "rep_id"
+        )
+        keys.join(rep_fps, "rep_id", "left").where(
+            F.col("fp").isNotNull()
+        ).select("clip_id", "rep_id", "n_subfp", "fp").write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        keys.unpersist()
 
 
 def fingerprint_neardup_pairs(
@@ -486,17 +489,26 @@ def content_dedup_decisions(
     materializing it."""
     from .simdedup import neardup_components
 
-    keys = payload_reps(clips)
-    rep_ids = keys.select(F.col("rep_id").alias("clip_id")).distinct()
-    if fps is not None:
-        rep_fps = fps.join(rep_ids, "clip_id", "left_semi")
-        persisted = None
+    if fps is not None and "rep_id" in fps.columns:
+        # the ingest fingerprint table carries the key map — the whole
+        # post-pass runs with ZERO payload reads
+        keys = fps.select("clip_id", "rep_id")
+        rep_fps = fps.where(F.col("clip_id") == F.col("rep_id")).select(
+            "clip_id", "n_subfp", "fp"
+        )
     else:
-        rep_rows = clips.join(rep_ids, "clip_id", "left_semi")
-        rep_fps = audio_fingerprints(rep_rows).where(F.col("fp").isNotNull())
-        persisted = rep_fps.persist()
-        persisted.count()
-        rep_fps = persisted
+        # one slim sha pass over the payload, persisted so no consumer
+        # of this plan re-scans bytes
+        keys = payload_reps(clips).persist()
+        keys.count()
+        rep_ids = keys.select(F.col("rep_id").alias("clip_id")).distinct()
+        if fps is not None:
+            rep_fps = fps.join(rep_ids, "clip_id", "left_semi")
+        else:
+            rep_rows = clips.join(rep_ids, "clip_id", "left_semi")
+            rep_fps = audio_fingerprints(rep_rows).where(F.col("fp").isNotNull())
+            rep_fps = rep_fps.persist()
+            rep_fps.count()
     pairs = fingerprint_neardup_pairs(
         clips, max_ber=max_ber, token_stride=token_stride, fps=rep_fps
     ).select(F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b"))
@@ -506,12 +518,22 @@ def content_dedup_decisions(
     # expand rep verdicts over their exact-dup groups: keeper defaults
     # to the rep itself (groups with no cross-content match still flag
     # their non-rep members — those pairs were BER-0 edges in the
-    # per-clip formulation); restrict to decodable groups (rep present
-    # in the fingerprint frame)
-    dups = (
-        keys.join(
-            rep_fps.select(F.col("clip_id").alias("rep_id")), "rep_id", "left_semi"
+    # per-clip formulation). The expansion covers only TOKEN-BEARING
+    # reps: a zero-token rep (sub-4-subfp, or all-degenerate silence
+    # windows) can never pair with ANYTHING in the per-clip
+    # formulation — its exact dups stay unflagged there, so they must
+    # stay unflagged here too.
+    toked = (
+        rep_fps.where(F.col("n_subfp") >= TOKEN_LEN)
+        .select(
+            F.col("clip_id").alias("rep_id"),
+            F.explode(_token_expr(token_stride)).alias("_t"),
         )
+        .select("rep_id")
+        .distinct()
+    )
+    dups = (
+        keys.join(toked, "rep_id", "left_semi")
         .join(comp, "rep_id", "left")
         .withColumn("_keeper", F.coalesce("_keeper", "rep_id"))
         .where(F.col("clip_id") != F.col("_keeper"))

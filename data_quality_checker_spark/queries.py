@@ -1387,7 +1387,10 @@ def _fps_table(spark, sf_dir: str) -> DataFrame:
     from .operators.audiofp import fingerprint_table
 
     base, _sf = _sf_of(sf_dir)
-    path = f"/tmp/dqc_fps_{_FP_V}_{base}{_TAG}"
+    # t2: table format gained the rep_id column (payload_reps map) —
+    # readers fall back gracefully on old tables, but the zero-payload
+    # fast path of content_dedup_decisions deserves the rebuild
+    path = f"/tmp/dqc_fps_{_FP_V}t2_{base}{_TAG}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)

@@ -133,7 +133,11 @@ def process_content_increment(
     recover_table_compaction(state_dir, "fp_store", "cbkt", "fpstore")
     batch_seen = os.path.exists(_marker(state_dir, batch_id))
 
-    keys = payload_reps(new_clips)
+    # persisted: the slim (clip → rep) map is read by the rep-row semi
+    # join here AND by the final expansion — without the barrier the
+    # second evaluation would re-hash every payload byte of the batch
+    keys = payload_reps(new_clips).persist()
+    keys.count()
     rep_rows = new_clips.join(
         keys.select(F.col("rep_id").alias("clip_id")).distinct(),
         "clip_id",
@@ -196,22 +200,18 @@ def process_content_increment(
                 bcnt = toks.groupBy("clip_id").agg(
                     F.count(F.lit(1)).alias("n_tok_b")
                 ).withColumnRenamed("clip_id", "clip_b")
-                a = store.select(
+                # the floor filter joins only SLIM columns (counts) so
+                # noise candidates die before any ~360 B fingerprint
+                # array is fetched from the store or shipped through a
+                # shuffle — the whole point of the count prune
+                a_slim = store.select(
                     F.col("clip_id").alias("clip_a"),
-                    F.col("fp").alias("fp_a"),
-                    F.col("n_subfp").alias("n_a"),
-                    "reg_batch",
                     F.coalesce(F.col("n_tok"), F.lit(MIN_SHARED_TOKENS)).alias(
                         "n_tok_a"
                     ),
                 )
-                b = fps.select(
-                    F.col("clip_id").alias("clip_b"),
-                    F.col("fp").alias("fp_b"),
-                    F.col("n_subfp").alias("n_b"),
-                )
                 pruned = (
-                    cand.join(a, "clip_a")
+                    cand.join(a_slim, "clip_a")
                     .join(bcnt, "clip_b")
                     .where(
                         F.col("n_shared")
@@ -221,8 +221,22 @@ def process_content_increment(
                             F.col("n_tok_b"),
                         )
                     )
+                    .select("clip_a", "clip_b")
                 )
-                verified = with_ber(pruned.join(b, "clip_b"), max_ber)
+                a_fp = store.select(
+                    F.col("clip_id").alias("clip_a"),
+                    F.col("fp").alias("fp_a"),
+                    F.col("n_subfp").alias("n_a"),
+                    "reg_batch",
+                )
+                b = fps.select(
+                    F.col("clip_id").alias("clip_b"),
+                    F.col("fp").alias("fp_b"),
+                    F.col("n_subfp").alias("n_b"),
+                )
+                verified = with_ber(
+                    pruned.join(a_fp, "clip_a").join(b, "clip_b"), max_ber
+                )
                 # earliest registry match wins — FIRST-SEEN-BATCH, tie-broken
                 # by min keeper id (min over (reg_batch, clip_a); a bare
                 # min(clip_a) would be lexicographic across batches, which is
@@ -283,11 +297,14 @@ def process_content_increment(
         # member's keeper is its rep's keeper (which is the rep itself
         # when the rep matched nothing), so exact dups of a keeper are
         # content duplicates OF that keeper — identical to the per-clip
-        # formulation's BER-0 edges
+        # formulation's BER-0 edges. Gate on TOKEN-BEARING reps: a
+        # zero-token rep (all-degenerate silence windows) can never pair
+        # with anything per-clip, so its exact dups must stay unflagged
+        # here too.
+        toked = toks.select(F.col("clip_id").alias("rep_id")).distinct()
         out = (
-            keys.join(
-                rep_out.withColumnRenamed("clip_id", "rep_id"), "rep_id"
-            )
+            keys.join(toked, "rep_id", "left_semi")
+            .join(rep_out.withColumnRenamed("clip_id", "rep_id"), "rep_id")
             .select("clip_id", "content_keeper_id")
             .withColumn(
                 "is_content_dup", F.col("content_keeper_id") != F.col("clip_id")
@@ -351,3 +368,4 @@ def process_content_increment(
         return rows
     finally:
         fps.unpersist()
+        keys.unpersist()

@@ -213,6 +213,55 @@ def test_content_dedup_decisions_post_pass(spark):
     assert sev[("c_exact", "duplicate")] == "medium"
 
 
+def test_content_dedup_zero_token_group_unflagged(spark):
+    """Rep-level expansion must NOT flag exact duplicates of a
+    ZERO-TOKEN clip (all-degenerate silence windows, or too few subfps
+    to form a token): the per-clip formulation produces no candidate
+    pair for them, so the collapse has to gate its expansion on
+    token-bearing reps (review finding, round 4)."""
+    from data_quality_checker_spark.pipeline import run_pipeline
+
+    sr = FP.FP_SR
+    silent = np.zeros(int(sr * 1.0), dtype=np.int16)
+    voiced = _i16(_speechlike(5, secs=2.0))
+    tx = "hello there this is a transcript of reasonable length"
+    rows = [
+        ("s_a", encode_wav(silent, sr), sr, 1000, "wav", tx),
+        ("s_b", encode_wav(silent, sr), sr, 1000, "wav", tx),  # exact silent dup
+        ("v_a", encode_wav(voiced, sr), sr, 2000, "wav", tx),
+        ("v_b", encode_wav(voiced, sr), sr, 2000, "wav", tx),  # exact voiced dup
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    )
+    clips = spark.createDataFrame(
+        pdf,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    # sanity: the silent clip really is token-free at the spec level
+    assert len(O._subfps_for_clip(silent.astype(np.int64))) >= FP.TOKEN_LEN
+    assert not _tokens_nondegenerate(silent)
+    dec = run_pipeline(spark, clips, persist=False).decisions
+    out = FP.content_dedup_decisions(clips, dec)
+    got = {r.clip_id: set(r.rules_fired) for r in out.collect()}
+    # the silent dup is (correctly) a byte-SHA duplicate but must NOT
+    # carry content_duplicate — no token can ever pair it
+    assert "content_duplicate" not in got["s_b"], got
+    assert "duplicate" in got["s_b"]
+    # the voiced dup group still double-flags, as before
+    assert "content_duplicate" in got["v_b"]
+
+
+def _tokens_nondegenerate(x16) -> set:
+    subfps = O._subfps_for_clip(np.asarray(x16, dtype=np.int64))
+    toks = set()
+    for p in range(len(subfps) - FP.TOKEN_LEN + 1):
+        w = subfps[p : p + FP.TOKEN_LEN]
+        if len(set(w)) > 1:
+            toks.add(tuple(w))
+    return toks
+
+
 # ---------------------------------------------------------------------------
 # plan shape
 
