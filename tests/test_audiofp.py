@@ -262,6 +262,42 @@ def _tokens_nondegenerate(x16) -> set:
     return toks
 
 
+def test_content_dedup_fast_path_reads_no_payload(spark, tmp_path):
+    """With a rep_id-bearing ingest fingerprint table, the content
+    post-pass must run with ZERO payload reads — no sha1, no binary
+    column in the executed plan (the 'once per ingest, never per query'
+    contract)."""
+    sr = FP.FP_SR
+    base = _speechlike(30, secs=2.0)
+    rows = [
+        ("a", encode_wav(base, sr), sr, 2000, "wav", "tx"),
+        ("b", encode_wav(base, sr), sr, 2000, "wav", "tx"),
+        ("c", encode_wav(_speechlike(31, secs=2.0), sr), sr, 2000, "wav", "tx"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    )
+    clips = spark.createDataFrame(
+        pdf,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    path = str(tmp_path / "fps_tbl")
+    FP.fingerprint_table(clips, path)
+    tbl = spark.read.parquet(path)
+    assert "rep_id" in tbl.columns
+    dec = spark.createDataFrame(
+        [(c, True, []) for c, *_ in rows],
+        "clip_id string, keep boolean, rules_fired array<string>",
+    )
+    out = FP.content_dedup_decisions(clips, dec, fps=tbl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "sha1" not in plan, plan[:2000]
+    assert "bytes" not in plan, plan[:2000]
+    got = {r.clip_id: r.keep for r in out.collect()}
+    assert got == {"a": True, "b": False, "c": True}
+    spark.catalog.clearCache()
+
+
 # ---------------------------------------------------------------------------
 # plan shape
 
