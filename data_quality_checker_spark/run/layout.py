@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,18 +95,33 @@ def cobucketed_join(
     /...) builds a NEW QueryExecution after the flag is restored, and
     Catalyst re-inserts the per-partition sorts; an AQE stage replan can
     do the same. Callers composing further transformations on a
-    sort-free bucketed join should set the conf themselves for the
-    session (documented sticky behavior) rather than rely on this
-    helper's plan capture."""
-    key_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    prev = spark.conf.get(key_conf, "false")
-    spark.conf.set(key_conf, "true")
-    try:
+    sort-free bucketed join should wrap the WHOLE composition (plan
+    build through action) in ``sorted_bucketed_scans`` instead."""
+    with sorted_bucketed_scans(spark):
         df = spark.table(left_table).join(spark.table(right_table), key)
         # force physical planning under the flag; the QueryExecution
         # caches it, so execution after the restore reuses this plan
         df._jdf.queryExecution().executedPlan()
         return df
+
+
+@contextmanager
+def sorted_bucketed_scans(spark: SparkSession):
+    """Scope ``bucketedTableScan.outputOrdering`` to a caller block:
+    every plan BUILT AND EXECUTED inside the ``with`` trusts the
+    bucketed tables' sortBy file order (no per-partition Sort), and the
+    session conf is restored on exit — the derived-frame/AQE-replan-safe
+    form of what ``cobucketed_join`` does for a single join plan.
+
+        with sorted_bucketed_scans(spark):
+            out = cobucketed_join(spark, "a", "b").groupBy(...).agg(...)
+            out.write.parquet(path)   # execute INSIDE the scope
+    """
+    key_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(key_conf, "false")
+    spark.conf.set(key_conf, "true")
+    try:
+        yield
     finally:
         spark.conf.set(key_conf, prev)
 

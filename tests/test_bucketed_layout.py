@@ -52,6 +52,37 @@ def test_cobucketed_join_no_exchange_no_sort(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_sorted_bucketed_scans_scopes_derived_plans(spark, bucketed_tables):
+    """cobucketed_join's plan capture covers only the returned frame —
+    a DERIVED frame replans after the conf restore and regains the
+    per-partition Sort (the documented caveat). sorted_bucketed_scans
+    scopes the conf over a whole composition, keeping derived join
+    plans Sort-free, and restores the conf on exit."""
+    from data_quality_checker_spark.run.layout import sorted_bucketed_scans
+
+    lt, rt = bucketed_tables
+    key_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def derived_plan():
+            d = cobucketed_join(spark, lt, rt).groupBy("keep").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            return d._jdf.queryExecution().executedPlan().toString()
+
+        # outside the scope: the derived replan re-inserts the Sort
+        assert "Sort " in derived_plan().replace("SortMergeJoin", "SMJ")
+        with sorted_bucketed_scans(spark):
+            assert spark.conf.get(key_conf) == "true"
+            plan = derived_plan()
+            assert "SortMergeJoin" in plan
+            assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+        assert spark.conf.get(key_conf) == "false"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_unbucketed_baseline_shuffles(spark, bucketed_tables):
     """Control: the SAME join over plain (unbucketed) frames must shuffle —
     guards against the no-Exchange assertion passing vacuously (e.g. AQE
