@@ -215,9 +215,15 @@ def audio_fingerprints_dedup(
     rep fingerprints join back over the slim map on rep_id. Null-payload
     and undecodable groups inherit their rep's null fingerprint row,
     exactly like the plain scan. ``keys`` — pass a precomputed
-    payload_reps frame to share the sha pass with other consumers."""
+    payload_reps frame to share the sha pass with other consumers; when
+    omitted the map is persisted internally (it appears in BOTH the
+    rep-selection and join-back subtrees — unpersisted, each
+    materialization would pay the sha1 payload scan twice). Persist
+    barriers here follow the module discipline: released by the
+    caller's clearCache between jobs (see fingerprint_neardup_pairs)."""
     if keys is None:
-        keys = payload_reps(clips)
+        keys = payload_reps(clips).persist()
+        keys.count()
     rep_rows = clips.join(
         keys.select(F.col("rep_id").alias("clip_id")).distinct(),
         "clip_id",
@@ -355,15 +361,7 @@ def fingerprint_table(clips: DataFrame, path: str) -> None:
     keys = payload_reps(clips).persist()
     keys.count()
     try:
-        rep_rows = clips.join(
-            keys.select(F.col("rep_id").alias("clip_id")).distinct(),
-            "clip_id",
-            "left_semi",
-        )
-        rep_fps = audio_fingerprints(rep_rows).withColumnRenamed(
-            "clip_id", "rep_id"
-        )
-        keys.join(rep_fps, "rep_id", "left").where(
+        audio_fingerprints_dedup(clips, keys=keys).join(keys, "clip_id").where(
             F.col("fp").isNotNull()
         ).select("clip_id", "rep_id", "n_subfp", "fp").write.mode(
             "overwrite"
@@ -498,7 +496,8 @@ def content_dedup_decisions(
         )
     else:
         # one slim sha pass over the payload, persisted so no consumer
-        # of this plan re-scans bytes
+        # of this plan re-scans bytes (barrier released by the caller's
+        # clearCache between jobs — the module's persist discipline)
         keys = payload_reps(clips).persist()
         keys.count()
         rep_ids = keys.select(F.col("rep_id").alias("clip_id")).distinct()

@@ -117,7 +117,10 @@ def process_content_increment(
 ) -> DataFrame:
     """Score one micro-batch for content duplicates within AND across
     batches → (clip_id, content_keeper_id, is_content_dup) for every
-    batch clip with a decodable fingerprint. Idempotent per batch_id.
+    batch clip whose payload group carries ≥1 fingerprint token — clips
+    of undecodable or token-free (all-degenerate silence windows)
+    groups are absent, since no token can ever pair them (callers must
+    left-join, as process_and_write does). Idempotent per batch_id.
 
     The whole tier runs at REPRESENTATIVE level (payload_reps: one rep
     per distinct (sha1, codec, sr_hz) key — the same collapse as

@@ -250,6 +250,7 @@ def test_content_dedup_zero_token_group_unflagged(spark):
     assert "duplicate" in got["s_b"]
     # the voiced dup group still double-flags, as before
     assert "content_duplicate" in got["v_b"]
+    spark.catalog.clearCache()  # release the operator's persist barriers
 
 
 def _tokens_nondegenerate(x16) -> set:
