@@ -188,3 +188,59 @@ def test_stream_quality_filter_with_content_dedup(spark, tmp_path):
     assert "content_duplicate" in got["b_gaincopy"][1]
     assert "duplicate" not in got["b_gaincopy"][1]  # SHA tier cannot see it
     assert got["b_new"][0] is True and got["a_other"][0] is True
+
+
+def test_content_registry_compaction_bounds_file_count(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The fp_tokens / fp_store registries must not grow a bucket's file
+    count O(batches) — the same per-bucket compaction bound the SHA
+    registry proves (test_streaming.py). Force everything into ONE
+    bucket, register 12 batches of all-new content, and require both
+    hot buckets bounded by MAX_BUCKET_FILES — with the registry still
+    matching: a gain copy of batch-0 content probed afterwards must
+    flag against the original keeper."""
+    import os
+
+    import data_quality_checker_spark.streaming.contentfp as cfp
+    from data_quality_checker_spark.streaming import incremental as inc
+
+    monkeypatch.setattr(cfp, "N_FP_BUCKETS", 1)
+    state = str(tmp_path_factory.mktemp("cfp_compact"))
+
+    def enc(sig):
+        x = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
+        return encode_wav(x, SR)
+
+    n_batches = 12
+    for bid in range(n_batches):
+        rows = [
+            (
+                f"b{bid:02d}_c{j}",
+                enc(_speechlike(100 + bid * 7 + j, secs=1.2)),
+                SR,
+                1200,
+                "wav",
+                "tx",
+            )
+            for j in range(2)
+        ]
+        out = process_content_increment(spark, _df(spark, rows), state, bid)
+        assert out.where("is_content_dup").count() == 0, bid  # all-new content
+        out.unpersist()
+
+    for table, part in (("fp_tokens", "tbkt"), ("fp_store", "cbkt")):
+        bucket = os.path.join(state, table, f"{part}=0")
+        n_files = sum(1 for f in os.listdir(bucket) if f.endswith(".parquet"))
+        assert n_files <= inc.MAX_BUCKET_FILES, (table, n_files)
+
+    # compaction preserved the registry: a gain-scaled copy of batch 0's
+    # first clip still matches its original keeper
+    probe = _df(
+        spark,
+        [("z_copy", enc(_speechlike(100, secs=1.2) * 0.6), SR, 1200, "wav", "tx")],
+    )
+    out = process_content_increment(spark, probe, state, n_batches)
+    flags = _flags(out)
+    assert flags["z_copy"] == ("b00_c0", True), flags
+    out.unpersist()
