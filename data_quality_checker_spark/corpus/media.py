@@ -1,0 +1,113 @@
+"""Deterministic synthetic media corpus (image modality tier).
+
+Mirrors corpus/generator.py's design for the clips table: fully seeded,
+sf-scaled, every defect class represented plus a clean majority. Images
+are uncompressed PPM/PGM/BMP payloads (corpus/image.py) so the numpy
+decode path is exercised for real; defects are the decode failures a
+crawler actually sees (truncated raster, unsupported bit depth /
+maxval, null payload) plus exact-duplicate payloads for the dedup tier.
+A few audio/video rows are mixed in so modality filtering is load-
+bearing, not decorative.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .image import encode_bmp, encode_pgm, encode_ppm
+
+MEDIA_PER_SF = 10_000
+SEED = 20_260_818
+# bump when generated content changes — cache paths embed it
+MEDIA_VERSION = 1
+
+# defect class → probability (clean = remainder)
+MEDIA_DEFECT_PROBS: dict[str, float] = {
+    "null_bytes": 0.02,
+    "truncated": 0.04,       # valid header, raster cut short
+    "bad_maxval": 0.02,      # 16-bit PPM — unsupported by the 8-bit path
+    "bad_bpp": 0.02,         # 8-bit palette BMP — unsupported variant
+    "dup": 0.06,             # exact payload duplicate of an earlier image
+    "video": 0.03,           # other modalities (filtered out upstream)
+    "audio": 0.03,
+}
+
+
+def _image_array(rng: np.random.Generator) -> np.ndarray:
+    """Small seeded RGB image: a two-axis gradient + uniform noise —
+    content-dependent features without compressible structure."""
+    h = int(rng.integers(16, 64))
+    w = int(rng.integers(16, 64))  # odd widths exercise BMP row padding
+    gy = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+    gx = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+    base = (gy * rng.uniform(0.2, 1.0) + gx * rng.uniform(0.2, 1.0)) / 2.0
+    noise = rng.integers(0, 64, size=(h, w, 3))
+    arr = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+    return arr
+
+
+def generate_media(sf: float, seed: int = SEED) -> pd.DataFrame:
+    """→ pandas frame in operators/multimodal.MEDIA_SCHEMA shape."""
+    n = max(40, int(MEDIA_PER_SF * sf))
+    rng = np.random.default_rng(seed)
+    classes = list(MEDIA_DEFECT_PROBS)
+    probs = np.array([MEDIA_DEFECT_PROBS[c] for c in classes])
+    probs = np.append(probs, 1.0 - probs.sum())
+    classes.append("clean")
+    draws = rng.choice(len(classes), size=n, p=probs)
+
+    rows: list[tuple] = []
+    encoders = [("ppm", encode_ppm), ("bmp", encode_bmp), ("pgm", encode_pgm)]
+    dup_pool: list[bytes] = []
+    for i in range(n):
+        media_id = f"m{i:07d}"
+        cls = classes[draws[i]]
+        if cls == "audio":
+            rows.append((media_id, "audio", b"RIFF\x00\x00\x00\x00WAVE",
+                         "audio/wav", {"sr_hz": "16000"}))
+            continue
+        if cls == "video":
+            rows.append((media_id, "video", b"\x00\x00\x00 ftypisom",
+                         "video/mp4", {"dur_ms": str(int(rng.integers(500, 8000)))}))
+            continue
+        if cls == "null_bytes":
+            rows.append((media_id, "image", None, "image/x-portable-pixmap", {}))
+            continue
+        if cls == "dup" and dup_pool:
+            payload = dup_pool[int(rng.integers(0, len(dup_pool)))]
+            rows.append((media_id, "image", payload, "image/x-dup", {"dup": "1"}))
+            continue
+        fmt, enc = encoders[int(rng.integers(0, len(encoders)))]
+        arr = _image_array(rng)
+        payload = enc(arr[:, :, 0] if fmt == "pgm" else arr)
+        if cls == "truncated":
+            payload = payload[: max(16, len(payload) - int(rng.integers(8, 200)))]
+        elif cls == "bad_maxval":
+            # 16-bit PPM: a real format, deliberately outside the 8-bit
+            # decode contract → decode_ok = False
+            h, w = arr.shape[:2]
+            payload = b"P6\n%d %d\n65535\n" % (w, h) + bytes(arr.astype(">u2").tobytes())
+        elif cls == "bad_bpp":
+            # flip the bpp field of a valid BMP to 8 (palette) — header
+            # parses, variant is unsupported → decode_ok = False
+            if fmt != "bmp":
+                payload = encode_bmp(arr if arr.ndim == 3 else arr)
+            b = bytearray(encode_bmp(arr))
+            b[28:30] = (8).to_bytes(2, "little")
+            payload = bytes(b)
+        else:  # clean
+            dup_pool.append(payload)
+        mime = {
+            "ppm": "image/x-portable-pixmap",
+            "pgm": "image/x-portable-graymap",
+            "bmp": "image/bmp",
+        }[fmt]
+        rows.append((media_id, "image", payload, mime, {}))
+    return pd.DataFrame(
+        rows, columns=["media_id", "modality", "bytes", "mime", "meta"]
+    )
+
+
+def write_media_parquet(path: str, sf: float, seed: int = SEED) -> None:
+    generate_media(sf, seed).to_parquet(path, index=False)

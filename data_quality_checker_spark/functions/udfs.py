@@ -30,7 +30,7 @@ from ..config import (
     TOXICITY_TERMS,
 )
 from ..corpus.audio import decode_clip_i16
-from ..schema import AUDIO_STATS_SCHEMA, LANGID_SCHEMA
+from ..schema import AUDIO_STATS_FP_SCHEMA, AUDIO_STATS_SCHEMA, LANGID_SCHEMA
 from . import textmodel
 
 _FULL_SCALE_THRESHOLD = 32766.0 / 32767.0
@@ -69,9 +69,11 @@ def _perplexity(transcript: pd.Series) -> pd.Series:
     return out
 
 
-def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+def _audio_stats_core(
+    payload: pd.Series, codec: pd.Series, sr_hz: pd.Series, with_fp: bool
+) -> pd.DataFrame:
     """Decode audio payloads → (n_samples, peak, rms, clip_ratio, decoded_ms,
-    decode_ok).
+    decode_ok[, n_subfp, fp]) from ONE decode per row.
 
     The binary-payload analog of the reference's type/range validation
     (src/core/validator.py:125-159). Decoding a variable-length blob is
@@ -81,7 +83,17 @@ def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.D
     (abs/compare in int32, energy in one float32 dot) — converting to
     float64 first costs ~8× the memory traffic of the payload and caps
     multi-core scaling long before CPUs saturate.
+
+    ``with_fp`` additionally computes the Philips content fingerprint
+    (operators/audiofp spec — the SAME resample + sub-fingerprint
+    primitives as audiofp._fp_udf, so the bits are identical) on the
+    already-decoded samples: one payload decode serves both the quality
+    rules and the content-dedup tier.
     """
+    if with_fp:
+        from ..operators.audio import resample_linear_i16
+        from ..operators.audiofp import FP_SR, clip_subfingerprints
+
     n = len(payload)
     n_samples = np.full(n, np.nan)
     peak = np.full(n, np.nan)
@@ -89,6 +101,8 @@ def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.D
     clip_ratio = np.full(n, np.nan)
     decoded_ms = np.full(n, np.nan)
     decode_ok = np.full(n, None, dtype=object)
+    n_subfp = np.full(n, None, dtype=object)
+    fp = np.full(n, None, dtype=object)
 
     full_scale_i16 = 32766  # |x| >= 32766 ⟺ |x|/32767 >= _FULL_SCALE_THRESHOLD
 
@@ -111,19 +125,38 @@ def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.D
             clip_ratio[i] = float(np.count_nonzero(a >= full_scale_i16)) / m
         if sr:
             decoded_ms[i] = 1000.0 * m / sr
+        if with_fp:
+            x16 = samples if sr == FP_SR else resample_linear_i16(samples, sr, FP_SR)
+            subs = clip_subfingerprints(x16)
+            n_subfp[i] = len(subs)
+            fp[i] = subs.tolist()
 
-    return pd.DataFrame(
-        {
-            "n_samples": pd.array(
-                [None if np.isnan(v) else int(v) for v in n_samples], dtype="Int64"
-            ),
-            "peak": peak,
-            "rms": rms,
-            "clip_ratio": clip_ratio,
-            "decoded_ms": decoded_ms,
-            "decode_ok": pd.array(decode_ok, dtype="boolean"),
-        }
-    )
+    out = {
+        "n_samples": pd.array(
+            [None if np.isnan(v) else int(v) for v in n_samples], dtype="Int64"
+        ),
+        "peak": peak,
+        "rms": rms,
+        "clip_ratio": clip_ratio,
+        "decoded_ms": decoded_ms,
+        "decode_ok": pd.array(decode_ok, dtype="boolean"),
+    }
+    if with_fp:
+        out["n_subfp"] = pd.array(
+            [None if v is None else int(v) for v in n_subfp], dtype="Int64"
+        )
+        out["fp"] = fp
+    return pd.DataFrame(out)
+
+
+def _audio_stats(payload: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+    return _audio_stats_core(payload, codec, sr_hz, with_fp=False)
+
+
+def _audio_stats_fp(
+    payload: pd.Series, codec: pd.Series, sr_hz: pd.Series
+) -> pd.DataFrame:
+    return _audio_stats_core(payload, codec, sr_hz, with_fp=True)
 
 
 def _phone_sub(m: re.Match) -> str:
@@ -176,6 +209,7 @@ def get_udfs() -> dict:
         "langid": pandas_udf(LANGID_SCHEMA)(_langid),
         "perplexity": pandas_udf("double")(_perplexity),
         "audio_stats": pandas_udf(AUDIO_STATS_SCHEMA)(_audio_stats),
+        "audio_stats_fp": pandas_udf(AUDIO_STATS_FP_SCHEMA)(_audio_stats_fp),
         "scrub": pandas_udf(
             "struct<scrubbed:string, had_email:boolean, had_phone:boolean, had_tox:boolean>"
         )(_scrub),

@@ -97,8 +97,12 @@ TOKEN_LEN = 4           # sub-fingerprints per 64-bit candidate token
 # tokens (was: any one). v4: the floor is adaptive —
 # least(MIN_SHARED_TOKENS, tokens(a), tokens(b)) — so a sub-150 ms clip
 # that can only EVER produce one token is not silently exempted from
-# content dedup (the v3 cliff).
-FP_SPEC_VERSION = 4
+# content dedup (the v3 cliff). v5: the hub-token document-frequency cap
+# is ON by default ("auto": max(AUTO_TOKEN_DF_FLOOR, AUTO_TOKEN_DF_MULT ×
+# ceil(mean df)) over DISTINCT fingerprint values), mirrored in the eager
+# labeler; per-clip token sets are deduplicated via array_distinct
+# instead of a (clip_id, token) shuffle.
+FP_SPEC_VERSION = 5
 
 FINGERPRINT_SCHEMA = T.StructType(
     [
@@ -165,17 +169,24 @@ def audio_fingerprints(clips: DataFrame) -> DataFrame:
     return clips.select("clip_id", f.alias("f")).select("clip_id", "f.*")
 
 
-def payload_reps(clips: DataFrame) -> DataFrame:
+def payload_reps(clips: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
     """→ (clip_id, rep_id): every clip mapped to the representative
     (min clip_id) of its distinct (sha1(bytes), codec, sr_hz) decode
     key — the decode-once-per-distinct-payload discipline's key map.
     One JVM-only sha1 pass + a slim self-join; the payload never
     shuffles. Null key components group null-safely (matching groupBy
     semantics), so byte-identical exact duplicates always share one
-    representative."""
-    keyed = clips.select(
-        "clip_id", F.sha1("bytes").alias("_k"), "codec", "sr_hz"
-    )
+    representative. ``hashed`` — a precomputed (clip_id, sha, codec,
+    sr_hz) frame (pipeline.hashed_frame); pass it to skip the sha pass
+    when the pipeline already hashed the batch."""
+    if hashed is not None:
+        keyed = hashed.select(
+            "clip_id", F.col("sha").alias("_k"), "codec", "sr_hz"
+        )
+    else:
+        keyed = clips.select(
+            "clip_id", F.sha1("bytes").alias("_k"), "codec", "sr_hz"
+        )
     reps = (
         keyed.groupBy("_k", "codec", "sr_hz")
         .agg(F.min("clip_id").alias("rep_id"))
@@ -266,12 +277,96 @@ def _token_expr(token_stride: int) -> F.Column:
 
 MIN_SHARED_TOKENS = 2
 
+# "auto" hub-token cap derivation (spec v5): cap = clamp(FLOOR,
+# MULT × ceil(mean token document frequency), CEILING), where df counts
+# DISTINCT FINGERPRINT VALUES containing the token — not clips and not
+# payload reps, so the per-clip operator path, the rep-level content
+# path, and the eager labeler all derive the IDENTICAL integer from the
+# same corpus (byte-identical and content-identical payloads collapse to
+# one df unit in every formulation). The FLOOR keeps small corpora
+# exactly cap-free (every fixture/test sf has max df ≪ 256, so the
+# default changes nothing there); the MULT×mean term scales the cap with
+# genuine corpus-wide token popularity; the CEILING bounds the worst
+# single-reducer fan-out at ~5·10^9 pair rows per token even on corpora
+# whose mean df is itself pathological.
+AUTO_TOKEN_DF_FLOOR = 256
+AUTO_TOKEN_DF_MULT = 32
+AUTO_TOKEN_DF_CEILING = 100_000
+
+
+def derive_max_token_df(fps: DataFrame, token_stride: int = 1) -> int:
+    """Corpus-derived hub-token document-frequency cap (the spec-v5
+    "auto" mode). One slim aggregation job over the distinct-fingerprint
+    token stream: count postings and distinct tokens, take the ceiling
+    mean, clamp to [AUTO_TOKEN_DF_FLOOR, AUTO_TOKEN_DF_CEILING] after
+    the AUTO_TOKEN_DF_MULT multiplier. Pure integer arithmetic — the
+    eager labeler (oracle/audio_oracle.py) recomputes the same number
+    from its dict-based index, so both engines drop exactly the same
+    stop-tokens on any corpus."""
+    row = (
+        fps.where(F.col("n_subfp") >= TOKEN_LEN)
+        .select("fp")
+        .distinct()
+        .select(F.explode(F.array_distinct(_token_expr(token_stride))).alias("token"))
+        .agg(
+            F.count(F.lit(1)).alias("n_post"),
+            F.count_distinct("token").alias("n_tok"),
+        )
+        .first()
+    )
+    if row is None or not row["n_tok"]:
+        return AUTO_TOKEN_DF_FLOOR
+    mean_ceil = -(-int(row["n_post"]) // int(row["n_tok"]))
+    return int(
+        min(
+            AUTO_TOKEN_DF_CEILING,
+            max(AUTO_TOKEN_DF_FLOOR, AUTO_TOKEN_DF_MULT * mean_ceil),
+        )
+    )
+
+
+def fingerprint_tokens(
+    fps: DataFrame,
+    token_stride: int = 1,
+    max_token_df: int | str | None = "auto",
+) -> DataFrame:
+    """→ (clip_id, token): each fingerprint row's DISTINCT tokens
+    (array_distinct before the explode — per-row dedup inside Catalyst,
+    no shuffle), with stop-tokens above the document-frequency cap
+    dropped. ``max_token_df="auto"`` (the default) derives the cap from
+    corpus stats via derive_max_token_df; pass an int to pin it or None
+    to opt out entirely. The df filter's basis is DISTINCT FINGERPRINT
+    VALUES (see derive_max_token_df) so the same tokens are dropped
+    whether the frame holds clips or payload reps."""
+    toks = fps.where(F.col("n_subfp") >= TOKEN_LEN).select(
+        "clip_id",
+        F.explode(F.array_distinct(_token_expr(token_stride))).alias("token"),
+    )
+    if max_token_df == "auto":
+        max_token_df = derive_max_token_df(fps, token_stride)
+    if max_token_df is not None:
+        rare = (
+            fps.where(F.col("n_subfp") >= TOKEN_LEN)
+            .select("fp")
+            .distinct()
+            .select(
+                F.explode(F.array_distinct(_token_expr(token_stride))).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_token_df)
+            .select("token")
+        )
+        toks = toks.join(rare, "token")
+    return toks
+
 
 def fingerprint_candidate_pairs(
     fps: DataFrame,
     token_stride: int = 1,
     min_shared_tokens: int = MIN_SHARED_TOKENS,
-    max_token_df: int | None = None,
+    max_token_df: int | str | None = "auto",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """→ (clip_a, clip_b, n_shared) candidate pairs: clips sharing at
     least ``min_shared_tokens`` distinct tokens. The join key is the
@@ -304,22 +399,18 @@ def fingerprint_candidate_pairs(
     drops these stop-tokens BEFORE the self-join (one extra count agg
     over the slim token stream); genuine copies still match on their
     many rare tokens — the inverse-document-frequency argument of the
-    published Philips lookup discipline. Off by default: at test/sf
-    scale every token is rare, and the threshold is a corpus-statistics
-    decision (~10^3 at 10^12 clips)."""
-    toks = (
-        fps.where(F.col("n_subfp") >= TOKEN_LEN)
-        .select("clip_id", F.explode(_token_expr(token_stride)).alias("token"))
-        .distinct()
-    )
-    if max_token_df is not None:
-        rare = (
-            toks.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_token_df)
-            .select("token")
-        )
-        toks = toks.join(rare, "token")
+    published Philips lookup discipline. ON by default since spec v5
+    ("auto": corpus-derived, see derive_max_token_df — the FLOOR keeps
+    every token of a small corpus, so test/sf-scale semantics are
+    unchanged); ``None`` is the explicit opt-out. The semantic tradeoff
+    of ANY df cap: content popular enough that its own distinct variants
+    exceed the cap stops pairing through those tokens — the collapsed-
+    variant escape hatch (module docstring) is the answer there, not an
+    uncapped join. ``toks`` — pass a precomputed fingerprint_tokens
+    frame to share it across consumers (the streaming tier probes the
+    registry with the same stream)."""
+    if toks is None:
+        toks = fingerprint_tokens(fps, token_stride, max_token_df)
     # per-clip distinct-token counts for the adaptive floor (slim agg;
     # computed AFTER the df cap so a stop-token-only clip keeps floor
     # semantics over its surviving tokens)
@@ -376,7 +467,7 @@ def fingerprint_neardup_pairs(
     token_stride: int = 1,
     min_shared_tokens: int = MIN_SHARED_TOKENS,
     fps: DataFrame | None = None,
-    max_token_df: int | None = None,
+    max_token_df: int | str | None = "auto",
 ) -> DataFrame:
     """→ (clip_a, clip_b, n_overlap, ber): content near-duplicate pairs —
     candidates by ≥min_shared_tokens shared tokens, verified by
@@ -384,34 +475,52 @@ def fingerprint_neardup_pairs(
     keep offset 0; Philips' published decision threshold for a 3 s block
     is BER < 0.35, we default stricter). All verification math is
     whole-stage codegen: zip_with + bit_count + aggregate over ~90-int
-    arrays.
+    arrays. Hub tokens are dropped by the corpus-derived df cap by
+    default (spec v5; ``max_token_df=None`` opts out).
 
     ``fps`` — a precomputed fingerprint frame/table (fingerprint_table).
     Pass it whenever fingerprints already exist: the decode+FFT scan is
     ~75% of this operator's wall-time and is pure recomputation when a
     fingerprint table is on disk. Without it the frame is computed and
     persisted here (three consumers — token side a, token side b, verify
-    join — would otherwise re-run the scan)."""
-    if fps is None:
-        fps = audio_fingerprints_dedup(clips).where(F.col("fp").isNotNull())
-        fps = fps.persist()
-        fps.count()
-    cand = fingerprint_candidate_pairs(
-        fps, token_stride, min_shared_tokens, max_token_df
+    join — would otherwise re-run the scan), the pair output is
+    materialized eagerly (localCheckpoint — pairs are slim, bounded by
+    near-dup volume), and the internal persists are released before
+    returning, so the convenience path leaks no cached frames."""
+
+    def pairs_of(fp_frame: DataFrame) -> DataFrame:
+        cand = fingerprint_candidate_pairs(
+            fp_frame, token_stride, min_shared_tokens, max_token_df
+        )
+        a = fp_frame.select(
+            F.col("clip_id").alias("clip_a"),
+            F.col("fp").alias("fp_a"),
+            F.col("n_subfp").alias("n_a"),
+        )
+        b = fp_frame.select(
+            F.col("clip_id").alias("clip_b"),
+            F.col("fp").alias("fp_b"),
+            F.col("n_subfp").alias("n_b"),
+        )
+        return with_ber(cand.join(a, "clip_a").join(b, "clip_b"), max_ber).select(
+            "clip_a", "clip_b", "n_overlap", "ber"
+        )
+
+    if fps is not None:
+        return pairs_of(fps)
+    keys = payload_reps(clips).persist()
+    keys.count()
+    fps_local = (
+        audio_fingerprints_dedup(clips, keys=keys)
+        .where(F.col("fp").isNotNull())
+        .persist()
     )
-    a = fps.select(
-        F.col("clip_id").alias("clip_a"),
-        F.col("fp").alias("fp_a"),
-        F.col("n_subfp").alias("n_a"),
-    )
-    b = fps.select(
-        F.col("clip_id").alias("clip_b"),
-        F.col("fp").alias("fp_b"),
-        F.col("n_subfp").alias("n_b"),
-    )
-    return with_ber(cand.join(a, "clip_a").join(b, "clip_b"), max_ber).select(
-        "clip_a", "clip_b", "n_overlap", "ber"
-    )
+    fps_local.count()
+    try:
+        return pairs_of(fps_local).localCheckpoint(eager=True)
+    finally:
+        fps_local.unpersist()
+        keys.unpersist()
 
 
 def with_ber(pairs_with_fps: DataFrame, max_ber: float) -> DataFrame:
@@ -452,6 +561,7 @@ def content_dedup_decisions(
     max_ber: float = 0.1,
     token_stride: int = 1,
     fps: DataFrame | None = None,
+    max_token_df: int | str | None = "auto",
 ) -> DataFrame:
     """Optional pipeline post-pass: drop content-level near-duplicates
     the byte-SHA dedup tier cannot see (gain-scaled, transcoded,
@@ -484,9 +594,16 @@ def content_dedup_decisions(
     keeper's min-over-reps IS the min over all member clips, so
     flag(clip) = clip_id != keeper(rep(clip)) reproduces the per-clip
     component labeling (BER-0 intra-group edges included) without
-    materializing it."""
+    materializing it.
+
+    Internal persists (the non-fingerprint-table branches) are released
+    before returning: the slim ``dups`` frame — bounded by the number of
+    flagged clips — is materialized eagerly (localCheckpoint), severing
+    the output's lineage from the cached key map / rep fingerprints, so
+    repeated post-pass calls in a long-lived session accumulate nothing."""
     from .simdedup import neardup_components
 
+    owned: list[DataFrame] = []
     if fps is not None and "rep_id" in fps.columns:
         # the ingest fingerprint table carries the key map — the whole
         # post-pass runs with ZERO payload reads
@@ -496,10 +613,10 @@ def content_dedup_decisions(
         )
     else:
         # one slim sha pass over the payload, persisted so no consumer
-        # of this plan re-scans bytes (barrier released by the caller's
-        # clearCache between jobs — the module's persist discipline)
+        # of this plan re-scans bytes (released in the finally below)
         keys = payload_reps(clips).persist()
         keys.count()
+        owned.append(keys)
         rep_ids = keys.select(F.col("rep_id").alias("clip_id")).distinct()
         if fps is not None:
             rep_fps = fps.join(rep_ids, "clip_id", "left_semi")
@@ -508,36 +625,48 @@ def content_dedup_decisions(
             rep_fps = audio_fingerprints(rep_rows).where(F.col("fp").isNotNull())
             rep_fps = rep_fps.persist()
             rep_fps.count()
-    pairs = fingerprint_neardup_pairs(
-        clips, max_ber=max_ber, token_stride=token_stride, fps=rep_fps
-    ).select(F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b"))
-    comp = neardup_components(pairs).select(
-        F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("_keeper")
-    )
-    # expand rep verdicts over their exact-dup groups: keeper defaults
-    # to the rep itself (groups with no cross-content match still flag
-    # their non-rep members — those pairs were BER-0 edges in the
-    # per-clip formulation). The expansion covers only TOKEN-BEARING
-    # reps: a zero-token rep (sub-4-subfp, or all-degenerate silence
-    # windows) can never pair with ANYTHING in the per-clip
-    # formulation — its exact dups stay unflagged there, so they must
-    # stay unflagged here too.
-    toked = (
-        rep_fps.where(F.col("n_subfp") >= TOKEN_LEN)
-        .select(
-            F.col("clip_id").alias("rep_id"),
-            F.explode(_token_expr(token_stride)).alias("_t"),
+            owned.append(rep_fps)
+    try:
+        # resolve the "auto" cap ONCE so pairing and the expansion gate
+        # below see the identical integer (two independent derivations
+        # would be equal anyway — same stats — but pay a second job)
+        if max_token_df == "auto":
+            max_token_df = derive_max_token_df(rep_fps, token_stride)
+        pairs = fingerprint_neardup_pairs(
+            clips,
+            max_ber=max_ber,
+            token_stride=token_stride,
+            fps=rep_fps,
+            max_token_df=max_token_df,
+        ).select(F.col("clip_a").alias("doc_a"), F.col("clip_b").alias("doc_b"))
+        comp = neardup_components(pairs).select(
+            F.col("doc_id").alias("rep_id"), F.col("cluster_id").alias("_keeper")
         )
-        .select("rep_id")
-        .distinct()
-    )
-    dups = (
-        keys.join(toked, "rep_id", "left_semi")
-        .join(comp, "rep_id", "left")
-        .withColumn("_keeper", F.coalesce("_keeper", "rep_id"))
-        .where(F.col("clip_id") != F.col("_keeper"))
-        .select("clip_id", F.lit(True).alias("_content_dup"))
-    )
+        # expand rep verdicts over their exact-dup groups: keeper defaults
+        # to the rep itself (groups with no cross-content match still flag
+        # their non-rep members — those pairs were BER-0 edges in the
+        # per-clip formulation). The expansion covers only reps with ≥1
+        # SURVIVING token (post-df-cap — fingerprint_tokens applies the
+        # same cap as pairing): a rep with no surviving token can never
+        # pair with ANYTHING in the per-clip formulation — its exact dups
+        # stay unflagged there, so they must stay unflagged here too.
+        toked = (
+            fingerprint_tokens(rep_fps, token_stride, max_token_df)
+            .select(F.col("clip_id").alias("rep_id"))
+            .distinct()
+        )
+        dups = (
+            keys.join(toked, "rep_id", "left_semi")
+            .join(comp, "rep_id", "left")
+            .withColumn("_keeper", F.coalesce("_keeper", "rep_id"))
+            .where(F.col("clip_id") != F.col("_keeper"))
+            .select("clip_id", F.lit(True).alias("_content_dup"))
+        )
+        if owned:
+            dups = dups.localCheckpoint(eager=True)
+    finally:
+        for frame in owned:
+            frame.unpersist()
     out = decisions.join(dups, "clip_id", "left")
     is_dup = F.coalesce(F.col("_content_dup"), F.lit(False))
     cols = []

@@ -3,12 +3,16 @@
 
 The audio modality is fully real in this repo (corpus/audio.py decodes
 WAV/PCM with numpy; the audio_stats pandas UDF feeds the rule set).
-Image and video decoding need codec libraries that are NOT in this
-container (PIL / av / opencv) — per the build instructions those decode
-steps are STUBBED: gated behind a try-import, with a clearly-marked
-deterministic fake so the Spark-side plumbing (schema, Arrow batch
-shape, partitioning, iterator-of-batches UDF signature, column pruning)
-is real and testable end-to-end.
+The image modality is real for UNCOMPRESSED formats: PPM/PGM/BMP decode
+with pure numpy (corpus/image.py — no codec library needed), verified
+against an independent byte-walking labeler (oracle/image_oracle.py,
+the audio tier's parity pattern). Compressed images (PNG/JPEG) and
+video decoding need codec libraries NOT in this container (PIL / av /
+opencv) — per the build instructions those paths are gated behind a
+try-import with a clearly-marked deterministic fake, so the Spark-side
+plumbing (schema, Arrow batch shape, partitioning, iterator-of-batches
+UDF signature, column pruning) is real and testable end-to-end for
+every format.
 
 Why ``mapInPandas`` and not a scalar pandas UDF: feature extraction is
 one-in-N-out per media row (video → N sampled frames) and benefits from
@@ -31,6 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..corpus.image import (
+    decode_image,
+    encode_ppm,
+    is_decodable,
+    luma_stats,
+    resize_nearest,
+)
 
 try:  # pragma: no cover — not present in this container
     from PIL import Image as _PIL_Image  # type: ignore
@@ -57,7 +69,9 @@ FRAME_SAMPLE_SCHEMA = (
 
 
 def _stub_decode_image(payload: bytes) -> tuple[int, int, float]:
-    """DETERMINISTIC FAKE image decode (stub — see module docstring).
+    """DETERMINISTIC FAKE decode for COMPRESSED formats only (PNG/JPEG
+    etc. — stub, see module docstring); uncompressed PPM/PGM/BMP take
+    the real numpy path and never reach this.
 
     Derives (width, height, mean_luma) from the payload digest so tests
     are reproducible and the fake is obviously content-dependent. A real
@@ -73,8 +87,16 @@ def _stub_decode_image(payload: bytes) -> tuple[int, int, float]:
 def image_features(media: DataFrame) -> DataFrame:
     """→ (media_id, width, height, mean_luma, decode_ok) for image rows.
 
-    Real plumbing: column-pruned payload scan → iterator-of-batches
-    pandas transform → slim feature frame (bytes never leave the stage).
+    Decode policy, by payload magic:
+    * PPM/PGM/BMP → REAL numpy decode (corpus/image.py); any malformed
+      or unsupported-variant payload is ``decode_ok = false`` — never a
+      fake success (parity-tested vs oracle/image_oracle.py).
+    * anything else → PIL when importable, else the clearly-marked
+      deterministic stub (compressed codecs aren't in this container).
+
+    Real plumbing throughout: column-pruned payload scan → iterator-of-
+    batches pandas transform → slim feature frame (bytes never leave the
+    stage).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,11 +107,22 @@ def image_features(media: DataFrame) -> DataFrame:
                 if payload is None:
                     rows.append((mid, None, None, None, False))
                     continue
+                payload = bytes(payload)
+                if is_decodable(payload):
+                    try:
+                        rgb = decode_image(payload)
+                    except ValueError:
+                        rows.append((mid, None, None, None, False))
+                        continue
+                    rows.append(
+                        (mid, rgb.shape[1], rgb.shape[0], luma_stats(rgb), True)
+                    )
+                    continue
                 if _PIL_Image is not None:  # pragma: no cover
                     import io
 
                     try:
-                        img = _PIL_Image.open(io.BytesIO(bytes(payload))).convert("L")
+                        img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
                         arr = np.asarray(img, dtype=np.float64) / 255.0
                         rows.append(
                             (mid, img.width, img.height, round(float(arr.mean()), 6), True)
@@ -98,7 +131,7 @@ def image_features(media: DataFrame) -> DataFrame:
                     except Exception:
                         rows.append((mid, None, None, None, False))
                         continue
-                w, h, luma = _stub_decode_image(bytes(payload))
+                w, h, luma = _stub_decode_image(payload)
                 rows.append((mid, w, h, luma, True))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "mean_luma", "decode_ok"]
@@ -147,10 +180,14 @@ def frame_samples(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize → (media_id, bytes, width, height). STUB: without a
-    codec library the payload passes through annotated with the target
-    dims (clearly-marked fake); with PIL present it re-encodes. The
-    binary-in/binary-out mapInPandas plumbing is the tested part."""
+    """Image resize → (media_id, bytes, width, height).
+
+    PPM/PGM/BMP payloads are REALLY resized (nearest-neighbor, pure
+    numpy) and re-encoded as PPM; undecodable ones are dropped (the
+    training-data-pipeline semantic: a clip that can't decode can't be
+    resized). Compressed formats fall back to PIL when importable, else
+    the clearly-marked passthrough stub (dims annotated, bytes
+    unchanged). Binary-in/binary-out mapInPandas throughout."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,16 +195,25 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
             for mid, payload in zip(pdf["media_id"], pdf["bytes"]):
                 if payload is None:
                     continue
+                payload = bytes(payload)
+                if is_decodable(payload):
+                    try:
+                        rgb = decode_image(payload)
+                    except ValueError:
+                        continue
+                    out = encode_ppm(resize_nearest(rgb, width, height))
+                    outs.append((mid, out, width, height))
+                    continue
                 if _PIL_Image is not None:  # pragma: no cover
                     import io
 
-                    img = _PIL_Image.open(io.BytesIO(bytes(payload)))
+                    img = _PIL_Image.open(io.BytesIO(payload))
                     img = img.resize((width, height))
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     outs.append((mid, buf.getvalue(), width, height))
                 else:
-                    outs.append((mid, bytes(payload), width, height))
+                    outs.append((mid, payload, width, height))
             yield pd.DataFrame(outs, columns=["media_id", "bytes", "width", "height"])
 
     return (

@@ -461,11 +461,16 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     near-dup components are dense cliques from LSH buckets (diameter
     1–2), so this converges in 2–3 rounds even at corpus scale — each
     round one equi-join + one groupBy on (id), both AQE-planned. Lineage
-    is truncated per round with an eager localCheckpoint: the label
-    frame is 2 longs/row, and an unbounded iterative plan otherwise
-    grows analysis time superlinearly. (GraphX/GraphFrames solve this
-    generically; two longs and a loop need no extra runtime, and the
-    alternating-star optimization is unnecessary at diameter ≤ 3.)
+    is truncated per round with a LAZY localCheckpoint whose
+    materialization is the convergence aggregate itself: the 2-longs/row
+    label frame is computed, cached, lineage-truncated AND scanned for
+    "did anything change" in ONE job per round (the r4 shape paid two —
+    an eager checkpoint job plus a limit(1) probe job — and that fixed
+    cost dominated wall-time at small sf). An unbounded iterative plan
+    without the truncation grows analysis time superlinearly.
+    (GraphX/GraphFrames solve this generically; two longs and a loop
+    need no extra runtime, and the alternating-star optimization is
+    unnecessary at diameter ≤ 3.)
     """
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = (
@@ -482,13 +487,14 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # Convergence check without a join: the round's aggregation carries
     # each node's OLD label alongside the new min (the old label is the
     # one row in the union coming from `labels` itself — min over a
-    # column that is null on neighbor rows recovers it), so "did
-    # anything change" is a limit(1) scan of the just-checkpointed
-    # frame. The previous formulation joined new-vs-old labels per round
-    # — a full extra shuffle of the label frame at corpus scale. Works
-    # for any orderable id type (doc ids here are longs, clip ids are
-    # strings).
+    # column that is null on neighbor rows recovers it). The count_if
+    # aggregate below is a FULL scan, so it fully materializes the lazy
+    # checkpoint in the same job (a short-circuiting probe like
+    # limit(1) would leave partitions uncomputed and the truncated
+    # lineage unreplayable). Works for any orderable id type (doc ids
+    # here are longs, clip ids are strings).
     label_t = labels.schema["label"].dataType
+    prev = labels
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "v"), "v"
@@ -507,11 +513,17 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.min("label").alias("label"),
                 F.min("own_label").alias("own_label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.where(F.col("label") != F.col("own_label")).limit(1).count()
-        )
+        changed = new.agg(
+            F.count_if(F.col("label") != F.col("own_label")).alias("n")
+        ).first()["n"]
+        # the previous round's cached labels fed `new` and nothing else
+        # references them — release per round instead of leaking one
+        # label frame per iteration into the block manager
+        if prev is not None:
+            prev.unpersist()
+        prev = new
         labels = new.drop("own_label")
         if changed == 0:
             break

@@ -174,6 +174,9 @@ def label_resample_stats(clips: pd.DataFrame, sr_out: int = RESAMPLE_SR) -> pd.D
 # written frame-by-frame, independent of the operator's vectorized path.
 
 from ..operators.audiofp import (  # noqa: E402  (spec constants only)
+    AUTO_TOKEN_DF_CEILING,
+    AUTO_TOKEN_DF_FLOOR,
+    AUTO_TOKEN_DF_MULT,
     FP_BAND_BINS,
     FP_FRAME,
     FP_HOP,
@@ -183,6 +186,23 @@ from ..operators.audiofp import (  # noqa: E402  (spec constants only)
     MIN_SHARED_TOKENS,
     TOKEN_LEN,
 )
+
+
+def oracle_token_cap(fp_token_sets: list[set[int]]) -> int:
+    """The spec-v5 "auto" hub-token df cap, recomputed eagerly: pure
+    integer arithmetic over the distinct-fingerprint token sets —
+    identical by construction to operators/audiofp.derive_max_token_df
+    (ceiling mean df, ×AUTO_TOKEN_DF_MULT, clamped to
+    [AUTO_TOKEN_DF_FLOOR, AUTO_TOKEN_DF_CEILING])."""
+    n_post = sum(len(s) for s in fp_token_sets)
+    n_tok = len(set().union(*fp_token_sets)) if fp_token_sets else 0
+    if not n_tok:
+        return AUTO_TOKEN_DF_FLOOR
+    mean_ceil = -(-n_post // n_tok)
+    return min(
+        AUTO_TOKEN_DF_CEILING,
+        max(AUTO_TOKEN_DF_FLOOR, AUTO_TOKEN_DF_MULT * mean_ceil),
+    )
 
 
 def _resample_to_fp_sr(x: np.ndarray, sr: int) -> np.ndarray:
@@ -261,15 +281,21 @@ def label_audio_fingerprints(clips: pd.DataFrame) -> pd.DataFrame:
 
 
 def label_fingerprint_pairs(
-    clips: pd.DataFrame, max_ber: float = 0.25
+    clips: pd.DataFrame,
+    max_ber: float = 0.25,
+    max_token_df: int | str | None = "auto",
 ) -> pd.DataFrame:
     """Expected (clip_a, clip_b, n_overlap, ber): shared-token candidate
     pairs (≥ least(MIN_SHARED_TOKENS, tokens(a), tokens(b)) distinct
     shared tokens — the Philips lookup discipline with the spec-v4
-    adaptive floor for clips short enough to yield a single token)
-    verified by bit-error-rate over the aligned common prefix —
-    dict-of-token index + python popcount loops (the operator uses a
-    Spark equi-join + count prune + codegen bit_count)."""
+    adaptive floor for clips short enough to yield a single token, and
+    the spec-v5 hub-token df cap, ON by default: tokens present in more
+    distinct FINGERPRINT VALUES than the corpus-derived cap
+    (oracle_token_cap) are dropped before pairing, and per-clip token
+    counts for the floor are taken over the SURVIVING tokens) verified
+    by bit-error-rate over the aligned common prefix — dict-of-token
+    index + python popcount loops (the operator uses a Spark equi-join
+    + count prune + codegen bit_count)."""
     fps: dict[str, list[int]] = {}
     for r in clips.itertuples():
         decoded = _decoded_or_none(r)
@@ -279,10 +305,9 @@ def label_fingerprint_pairs(
         subfps = _subfps_for_clip(_resample_to_fp_sr(x, sr))
         if subfps:
             fps[r.clip_id] = subfps
-    token_index: dict[int, set[str]] = {}
-    n_tokens: dict[str, int] = {}
-    for cid, subfps in fps.items():
-        clip_tokens: set[int] = set()
+
+    def tokens_of(subfps: list[int]) -> set[int]:
+        out: set[int] = set()
         for p in range(len(subfps) - TOKEN_LEN + 1):
             window = subfps[p : p + TOKEN_LEN]
             if len(set(window)) == 1:  # degenerate (silence/constant) window
@@ -290,7 +315,32 @@ def label_fingerprint_pairs(
             token = 0
             for q in range(TOKEN_LEN):
                 token = (token << 16) | window[q]
-            clip_tokens.add(token)
+            out.add(token)
+        return out
+
+    # spec v5: token document frequency over DISTINCT FINGERPRINT VALUES
+    # (byte- and content-identical clips count once), so this per-clip
+    # formulation derives the exact cap the rep-level Spark path does
+    fp_token_sets: dict[tuple[int, ...], set[int]] = {}
+    for subfps in fps.values():
+        key = tuple(subfps)
+        if key not in fp_token_sets:
+            fp_token_sets[key] = tokens_of(subfps)
+    if max_token_df == "auto":
+        max_token_df = oracle_token_cap(list(fp_token_sets.values()))
+    stop: set[int] = set()
+    if max_token_df is not None:
+        token_df: dict[int, int] = {}
+        for tokset in fp_token_sets.values():
+            for t in tokset:
+                token_df[t] = token_df.get(t, 0) + 1
+        stop = {t for t, d in token_df.items() if d > max_token_df}
+
+    token_index: dict[int, set[str]] = {}
+    n_tokens: dict[str, int] = {}
+    for cid, subfps in fps.items():
+        clip_tokens = fp_token_sets[tuple(subfps)] - stop
+        for token in clip_tokens:
             token_index.setdefault(token, set()).add(cid)
         if clip_tokens:
             n_tokens[cid] = len(clip_tokens)

@@ -82,6 +82,7 @@ def audio_stats_table(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     hashed: DataFrame | None = None,
     broadcast_reps: bool | None = None,
+    with_fingerprints: bool = False,
 ) -> DataFrame:
     """Scan C → (sha, codec, sr_hz, audio struct): decoded stats per
     DISTINCT payload-decode key.
@@ -110,6 +111,14 @@ def audio_stats_table(
     On an UNCACHED hashed frame the count would cost a full payload sha
     scan, so the broadcast default is kept there (ad-hoc call sites);
     pass ``broadcast_reps=False`` explicitly to force the shuffled plan.
+
+    ``with_fingerprints`` — compute the Philips content fingerprint
+    (operators/audiofp) in the SAME decode pass and emit it alongside:
+    output gains ``rep_id`` (the representative clip_id), ``n_subfp``
+    and ``fp`` top-level columns while ``audio`` keeps its exact
+    AUDIO_STATS_SCHEMA shape, so every stats consumer is unchanged and
+    the content-dedup tier reads its fingerprints from here instead of
+    paying a second full payload decode (the streaming tick's fix).
     """
     udfs = get_udfs()
     if hashed is None:
@@ -138,11 +147,38 @@ def audio_stats_table(
         F.col("clip_id") == F.col("rep_id"),
         "left_semi",
     )
-    return rep_rows.select(
-        sha1_expr("bytes").alias("sha"),
-        "codec",
-        "sr_hz",
-        udfs["audio_stats"](F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("audio"),
+    if not with_fingerprints:
+        return rep_rows.select(
+            sha1_expr("bytes").alias("sha"),
+            "codec",
+            "sr_hz",
+            udfs["audio_stats"](F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("audio"),
+        )
+    return (
+        rep_rows.select(
+            sha1_expr("bytes").alias("sha"),
+            "codec",
+            "sr_hz",
+            F.col("clip_id").alias("rep_id"),
+            udfs["audio_stats_fp"](
+                F.col("bytes"), F.col("codec"), F.col("sr_hz")
+            ).alias("_c"),
+        ).select(
+            "sha",
+            "codec",
+            "sr_hz",
+            "rep_id",
+            F.struct(
+                "_c.n_samples",
+                "_c.peak",
+                "_c.rms",
+                "_c.clip_ratio",
+                "_c.decoded_ms",
+                "_c.decode_ok",
+            ).alias("audio"),
+            F.col("_c.n_subfp").alias("n_subfp"),
+            F.col("_c.fp").alias("fp"),
+        )
     )
 
 
@@ -150,6 +186,7 @@ def enrich(
     clips: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     hashed: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Full enrichment: text pass ⋈ hashed (sha) ⋈ per-distinct-payload
     audio stats.
@@ -158,11 +195,19 @@ def enrich(
     join is null-safe on (sha, codec, sr_hz) — null sr_hz is a real key
     value for headerless PCM. Rows with null bytes miss the join: their
     ``audio`` struct is null, which the rules treat as not-decoded.
+
+    ``stats`` — a precomputed audio_stats_table frame (possibly the
+    with_fingerprints=True variant; only (sha, codec, sr_hz, audio) are
+    read). Pass it when another consumer shares the decode pass — the
+    streaming content-dedup tick decodes once for stats AND fingerprints.
     """
     if hashed is None:
         hashed = hashed_frame(clips)
     text = enrich_text(clips, cfg)
-    stats = audio_stats_table(clips, cfg, hashed)
+    if stats is None:
+        stats = audio_stats_table(clips, cfg, hashed)
+    else:
+        stats = stats.select("sha", "codec", "sr_hz", "audio")
     # both sides descend from `clips`, so raw df["col"] refs would carry
     # the SAME attribute id (Spark resolves them via dataset-id metadata
     # but warns "trivially true equals predicate") — explicit aliases

@@ -1879,6 +1879,73 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+# --- multimodal image tier (round 5: PPM/PGM/BMP decode unstubbed) ----
+
+# media fixtures embed the media-generator version
+from .corpus.media import MEDIA_VERSION as _MEDIA_V  # noqa: E402
+
+_MV = f"mv{_MEDIA_V}"
+
+
+def _media_path(sf_dir: str) -> str:
+    """Deterministic synthetic media corpus cached per sf (image modality
+    analog of _clips_path; corpus/media.py)."""
+    base, sf = _sf_of(sf_dir)
+    path = f"/tmp/dqc_media_{_MV}_{base}{_TAG}.parquet"
+    if not os.path.exists(path):
+        from .corpus.media import write_media_parquet
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_media_parquet(tmp, sf)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_image_fixtures(sf_dir: str) -> str:
+    """Write (once) the byte-walking image labeler's expected features
+    for the synthetic media corpus at this sf —
+    oracle/image_oracle.label_image_features, the image analog of
+    ensure_audio_fixtures. tmp+rename publish."""
+    base, _sf = _sf_of(sf_dir)
+    path = f"/tmp/dqc_expected_imgfeat_{_MV}_{base}{_TAG}.parquet"
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from .oracle.image_oracle import label_image_features
+
+    media = pd.read_parquet(_media_path(sf_dir))
+    out = label_image_features(media)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    out.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "multimodal_image_features",
+    f"""
+    SELECT media_id, width, height, mean_luma, decode_ok
+    FROM read_parquet('/tmp/dqc_expected_imgfeat_{_MV}_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_multimodal_image_features(spark, sf_dir):
+    """Image feature extraction over the multimodal media table —
+    operators/multimodal.image_features: column-pruned payload scan →
+    iterator-of-batches mapInPandas → slim (width, height, mean_luma,
+    decode_ok) frame; PPM/PGM/BMP payloads decode with REAL pure-numpy
+    codecs (corpus/image.py — round 5 unstubs the image modality),
+    malformed/unsupported payloads are decode failures, other modalities
+    are filtered before the payload ever moves. Oracle: the independent
+    byte-walking labeler's fixture (oracle/image_oracle.py — struct
+    header walks + exact-integer luma accumulation, so the doubles are
+    bit-identical)."""
+    from .operators.multimodal import image_features
+
+    media = spark.read.parquet(_media_path(sf_dir))
+    return image_features(media)
+
+
 # Driver-cap discipline (round-4 curation, VERDICT r3 item 2): the
 # driver records verdicts for at most 50 registered queries, so the
 # registry is kept ≤50 — every registered query gets a FRESH verdict
@@ -1897,6 +1964,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
 # cap regression can never drop them.
 _FIRST = [
     "clips_decisions_labels",
+    "multimodal_image_features",
     "clips_findings_summary",
     "ml_recommendations",
     "clips_rescored_decisions",
@@ -1925,14 +1993,50 @@ def queries() -> dict[str, QueryFn]:
     return {n: _QUERIES[n] for n in _ordered_names()}
 
 
+# The driver's correctness contract sf: oracle_sql() strings embed
+# fixture paths at this base, and the driver runs them at this sf only.
+FIXTURE_SF_BASE = "sf0.01"
+
+
 def oracles() -> dict[str, str]:
     # The clips oracles read pandas-oracle fixtures under /tmp; make sure
     # they exist before any SQL runs (driver correctness runs at sf0.01).
     try:
-        ensure_expected_fixtures("/root/testdata/sf0.01")
-        ensure_audio_fixtures("/root/testdata/sf0.01")
-        ensure_rescore_fixture("/root/testdata/sf0.01")
-        _clips_path("/root/testdata/sf0.01")  # audio_chunks SQL reads it
+        _ensure_all_fixtures(f"/root/testdata/{FIXTURE_SF_BASE}")
     except Exception:
         pass
     return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
+
+
+def _ensure_all_fixtures(sf_dir: str) -> None:
+    ensure_expected_fixtures(sf_dir)
+    ensure_audio_fixtures(sf_dir)
+    ensure_rescore_fixture(sf_dir)
+    ensure_image_fixtures(sf_dir)
+    _clips_path(sf_dir)  # audio_chunks SQL reads it
+
+
+def fixture_oracles() -> set[str]:
+    """Names whose oracle SQL reads a /tmp pandas-labeler fixture (pinned
+    to FIXTURE_SF_BASE in the driver-contract form) rather than the
+    sf-relative TPC-H parquet views — the explicit pin tools should use
+    instead of substring-sniffing the SQL text."""
+    return {n for n, sql in _ORACLES.items() if f"_{FIXTURE_SF_BASE}" in sql}
+
+
+def oracles_for(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL retargeted to ``sf_dir``: regenerates every
+    pandas-labeler fixture at that sf (deterministic, cached in /tmp)
+    and rewrites the fixture paths, so the FULL gate — flagship label
+    oracles included — runs at any scale, not just the driver's sf0.01.
+    ``oracles()`` remains the driver-contract (sf0.01-pinned) form."""
+    base, _sf = _sf_of(sf_dir)
+    if base == FIXTURE_SF_BASE:
+        return oracles()
+    _ensure_all_fixtures(sf_dir)
+    return {
+        n: sql.replace(f"_{FIXTURE_SF_BASE}", f"_{base}")
+        for n, sql in (
+            (n, _ORACLES[n]) for n in _ordered_names() if n in _ORACLES
+        )
+    }

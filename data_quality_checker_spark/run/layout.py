@@ -118,12 +118,17 @@ def sorted_bucketed_scans(spark: SparkSession):
             out.write.parquet(path)   # execute INSIDE the scope
     """
     key_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    prev = spark.conf.get(key_conf, "false")
+    prev = spark.conf.get(key_conf, None)
     spark.conf.set(key_conf, "true")
     try:
         yield
     finally:
-        spark.conf.set(key_conf, prev)
+        # restore the exact prior state: unset if it was never set, so
+        # we track Spark's default instead of pinning today's "false"
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
 
 
 def publish_bucketed_run(

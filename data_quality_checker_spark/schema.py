@@ -86,6 +86,17 @@ AUDIO_STATS_SCHEMA = T.StructType(
     ]
 )
 
+# stats + content fingerprint from ONE decode (the combined UDF behind
+# pipeline.audio_stats_table(with_fingerprints=True) — the streaming
+# content tier's fix for paying the payload decode twice per tick)
+AUDIO_STATS_FP_SCHEMA = T.StructType(
+    list(AUDIO_STATS_SCHEMA.fields)
+    + [
+        T.StructField("n_subfp", T.LongType(), nullable=True),
+        T.StructField("fp", T.ArrayType(T.IntegerType()), nullable=True),
+    ]
+)
+
 LANGID_SCHEMA = T.StructType(
     [
         T.StructField("lang", T.StringType(), nullable=True),

@@ -3,10 +3,12 @@ re-expressed as DataFrame writers plus a driver-side markdown report.
 
 Reference: src/core/export_formats.py (csv/json/xml/parquet + issues
 export + data-with-metadata envelope), src/core/reporting.py (markdown
-report). XML and pdf/xlsx renderers are out of scope (no lxml/openpyxl/
-wkhtmltopdf here and no analytical value); every tabular export maps to
-a distributed writer — the 100 TB-safe shape is "a directory of parquet/
-csv/json part-files", never a single driver-side file.
+report). XML export (``write_xml``, stdlib-only) and the pdf/xlsx/SVG
+report renderers (``reports.py``, dependency-free writers) ARE
+implemented; every tabular export maps to a distributed writer — the
+100 TB-safe shape is "a directory of parquet/csv/json part-files",
+never a single driver-side file (report renderers take pre-aggregated
+driver-side summaries only).
 """
 
 from __future__ import annotations

@@ -54,8 +54,10 @@ from ..operators.audiofp import (
     TOKEN_LEN,
     _token_expr,
     audio_fingerprints,
-    payload_reps,
+    derive_max_token_df,
     fingerprint_candidate_pairs,
+    fingerprint_tokens,
+    payload_reps,
     with_ber,
 )
 from ..operators.simdedup import neardup_components
@@ -114,13 +116,17 @@ def process_content_increment(
     batch_id: int,
     max_ber: float = 0.1,
     token_stride: int = 1,
+    max_token_df: int | str | None = "auto",
+    keys: DataFrame | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Score one micro-batch for content duplicates within AND across
     batches → (clip_id, content_keeper_id, is_content_dup) for every
     batch clip whose payload group carries ≥1 fingerprint token — clips
-    of undecodable or token-free (all-degenerate silence windows)
-    groups are absent, since no token can ever pair them (callers must
-    left-join, as process_and_write does). Idempotent per batch_id.
+    of undecodable or token-free (all-degenerate silence windows, or
+    every token df-capped) groups are absent, since no token can ever
+    pair them (callers must left-join, as process_and_write does).
+    Idempotent per batch_id.
 
     The whole tier runs at REPRESENTATIVE level (payload_reps: one rep
     per distinct (sha1, codec, sr_hz) key — the same collapse as
@@ -131,31 +137,59 @@ def process_content_increment(
     flag(clip) = clip_id != keeper(rep) reproduces the per-clip
     labeling, BER-0 intra-group edges included). A dup-heavy batch — the
     design regime — costs one decode per distinct payload and zero
-    intra-group pair rows."""
+    intra-group pair rows.
+
+    ``max_token_df`` — hub-token df cap (spec v5, ON by default): the
+    "auto" cap derives from THIS batch's distinct-fingerprint token
+    stats (derive_max_token_df) and thins the batch-side token stream,
+    which bounds BOTH the within-batch self-join fan-out and the
+    registry-probe fan-out (a stop-token the batch side dropped never
+    joins any registry posting list); registration stores only surviving
+    tokens, so the registry never accumulates a hub posting list either.
+
+    ``keys`` / ``fps`` — precomputed (clip_id, rep_id) map and rep-level
+    (clip_id, n_subfp, fp) fingerprints (audio_stats_table
+    with_fingerprints=True → rep_id/n_subfp/fp). Pass BOTH to reuse the
+    base tier's single decode + sha pass; when omitted the tick computes
+    them itself (one sha pass, one rep-level decode pass). Caller-owned
+    frames are never unpersisted here."""
     recover_table_compaction(state_dir, "fp_tokens", "tbkt", "fptok")
     recover_table_compaction(state_dir, "fp_store", "cbkt", "fpstore")
     batch_seen = os.path.exists(_marker(state_dir, batch_id))
 
-    # persisted: the slim (clip → rep) map is read by the rep-row semi
-    # join here AND by the final expansion — without the barrier the
-    # second evaluation would re-hash every payload byte of the batch
-    keys = payload_reps(new_clips).persist()
-    keys.count()
-    rep_rows = new_clips.join(
-        keys.select(F.col("rep_id").alias("clip_id")).distinct(),
-        "clip_id",
-        "left_semi",
-    )
-    fps = (
-        audio_fingerprints(rep_rows)
-        .where(F.col("fp").isNotNull() & (F.col("n_subfp") >= TOKEN_LEN))
-        .persist()
-    )
-    fps.count()
+    owned: list[DataFrame] = []
+    if keys is None:
+        # persisted: the slim (clip → rep) map is read by the rep-row
+        # semi join here AND by the final expansion — without the barrier
+        # the second evaluation would re-hash every payload byte
+        keys = payload_reps(new_clips).persist()
+        keys.count()
+        owned.append(keys)
+    if fps is None:
+        rep_rows = new_clips.join(
+            keys.select(F.col("rep_id").alias("clip_id")).distinct(),
+            "clip_id",
+            "left_semi",
+        )
+        fps = (
+            audio_fingerprints(rep_rows)
+            .where(F.col("fp").isNotNull() & (F.col("n_subfp") >= TOKEN_LEN))
+            .persist()
+        )
+        fps.count()
+        owned.append(fps)
+    else:
+        fps = fps.where(
+            F.col("fp").isNotNull() & (F.col("n_subfp") >= TOKEN_LEN)
+        )
     try:
-        toks = fps.select(
-            "clip_id", F.explode(_token_expr(token_stride)).alias("token")
-        ).distinct()
+        # resolve the "auto" cap once so the probe, the within-batch
+        # pairing, and the registration all drop the same stop-tokens
+        if max_token_df == "auto":
+            max_token_df = derive_max_token_df(fps, token_stride)
+        toks = fingerprint_tokens(fps, token_stride, max_token_df).persist()
+        toks.count()
+        owned.append(toks)
 
         # --- across batches: probe the token index, verify vs the store
         probe_buckets = sorted(
@@ -207,11 +241,22 @@ def process_content_increment(
                 # noise candidates die before any ~360 B fingerprint
                 # array is fetched from the store or shipped through a
                 # shuffle — the whole point of the count prune
+                # legacy-row backfill: registries written before n_tok
+                # existed reconstruct the keeper's distinct-token count
+                # from its STORED fp (size of the deduped token array —
+                # pre-cap and at the probe's stride, the best
+                # reconstruction available), instead of assuming ≥MIN:
+                # a pre-upgrade single-token keeper stays matchable by
+                # multi-token probes (the v3 cliff, closed for old
+                # registries too)
                 a_slim = store.select(
                     F.col("clip_id").alias("clip_a"),
-                    F.coalesce(F.col("n_tok"), F.lit(MIN_SHARED_TOKENS)).alias(
-                        "n_tok_a"
-                    ),
+                    F.coalesce(
+                        F.col("n_tok"),
+                        F.size(F.array_distinct(_token_expr(token_stride))).cast(
+                            "long"
+                        ),
+                    ).alias("n_tok_a"),
                 )
                 pruned = (
                     cand.join(a_slim, "clip_a")
@@ -251,7 +296,8 @@ def process_content_increment(
                 )
 
         # --- within the batch: pairs → components (keeper = min clip_id)
-        local_pairs = fingerprint_candidate_pairs(fps, token_stride)
+        # (toks passed through: same capped stream as the probe above)
+        local_pairs = fingerprint_candidate_pairs(fps, token_stride, toks=toks)
         lv = with_ber(
             local_pairs.join(
                 fps.select(
@@ -325,12 +371,12 @@ def process_content_increment(
         rows.count()
 
         if not batch_seen:
-            # register the batch's NEW keepers: not a dup of anything
+            # register the batch's NEW keepers: not a dup of anything.
+            # ktoks filters the already-capped token stream, so hub
+            # tokens never enter the registry's posting lists
             keepers = rows.where(~F.col("is_content_dup")).select("clip_id")
             kfps = fps.join(keepers, "clip_id", "left_semi")
-            ktoks = kfps.select(
-                "clip_id", F.explode(_token_expr(token_stride)).alias("token")
-            ).distinct()
+            ktoks = toks.join(keepers, "clip_id", "left_semi")
             ktoks.withColumn("tbkt", _tbkt("token")).write.mode("append").partitionBy(
                 "tbkt"
             ).parquet(_tokens_path(state_dir))
@@ -370,5 +416,5 @@ def process_content_increment(
             )
         return rows
     finally:
-        fps.unpersist()
-        keys.unpersist()
+        for frame in owned:
+            frame.unpersist()

@@ -200,15 +200,27 @@ def process_increment(
     batch_id: int,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     dur_bounds: tuple[float, float] | None = None,
+    hashed: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Score one micro-batch against (and then update) the SHA registry.
     Returns the decisions frame for the batch. Idempotent per batch_id
     (an O(1) marker-file probe — the batch count grows without bound, so
-    collecting a marker table each tick would too)."""
+    collecting a marker table each tick would too).
+
+    ``hashed`` / ``stats`` — precomputed pipeline.hashed_frame /
+    pipeline.audio_stats_table frames; pass them when another tier in
+    the same tick shares the sha pass / decode pass (process_and_write's
+    content_dedup path computes both ONCE for the base and content
+    tiers)."""
     _recover_compaction(state_dir)
     batch_seen = os.path.exists(_batch_marker(state_dir, batch_id))
 
-    hashed = new_clips.select("clip_id", sha1_expr("bytes").alias("sha"))
+    full_hashed = hashed  # 4-col pipeline.hashed_frame form, for enrich
+    if hashed is None:
+        hashed = new_clips.select("clip_id", sha1_expr("bytes").alias("sha"))
+    else:
+        hashed = hashed.select("clip_id", "sha")
     # the registry buckets this batch can possibly collide with — a tiny
     # distinct-agg (≤ N_SHA_BUCKETS values) over the slim hashed frame
     batch_buckets = sorted(
@@ -238,7 +250,7 @@ def process_increment(
         new_keepers = local_keepers
         all_keepers = local_keepers
 
-    enriched = enrich(new_clips, cfg)
+    enriched = enrich(new_clips, cfg, hashed=full_hashed, stats=stats)
     flagged = enriched.join(all_keepers, "sha", "left").withColumn(
         "is_duplicate",
         F.when(
@@ -287,39 +299,81 @@ def process_and_write(
     start — setting it only on the outer session leaves the clone in
     STATIC overwrite mode and every batch then truncates all previous
     batches' output (found via a 24-file multi-batch run; single-batch
-    tests could not see it)."""
+    tests could not see it).
+
+    With ``content_dedup`` the tick decodes each distinct payload ONCE:
+    the combined stats+fingerprint UDF pass (pipeline.audio_stats_table
+    with_fingerprints=True) feeds the base tier's rules AND the content
+    tier's token/BER pipeline, and one cached sha pass feeds the SHA
+    registry, the stats-rep selection, and the content tier's key map —
+    the pre-r5 shape paid the payload decode and the sha scan twice per
+    tick."""
     for sess in {spark, batch_df.sparkSession}:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    decisions = process_increment(spark, batch_df, state_dir, batch_id, cfg, dur_bounds)
     flags = None
-    if content_dedup:
-        from ..operators.audiofp import CONTENT_DUP_RULE
+    if not content_dedup:
+        decisions = process_increment(
+            spark, batch_df, state_dir, batch_id, cfg, dur_bounds
+        )
+    else:
+        from ..operators.audiofp import CONTENT_DUP_RULE, payload_reps
+        from ..pipeline import audio_stats_table, hashed_frame
         from .contentfp import process_content_increment
 
-        flags = process_content_increment(spark, batch_df, state_dir, batch_id)
-        dup = F.coalesce(F.col("is_content_dup"), F.lit(False))
-        decisions = (
-            decisions.join(
-                flags.where(F.col("is_content_dup")).select(
-                    "clip_id", "is_content_dup"
-                ),
-                "clip_id",
-                "left",
+        hashed = hashed_frame(batch_df).persist()
+        hashed.count()
+        stats = audio_stats_table(
+            batch_df, cfg, hashed, with_fingerprints=True
+        ).persist()
+        stats.count()
+        try:
+            decisions = process_increment(
+                spark,
+                batch_df,
+                state_dir,
+                batch_id,
+                cfg,
+                dur_bounds,
+                hashed=hashed,
+                stats=stats,
             )
-            .withColumn(
-                "rules_fired",
-                F.when(
-                    dup, F.array_append("rules_fired", F.lit(CONTENT_DUP_RULE))
-                ).otherwise(F.col("rules_fired")),
+            keys = payload_reps(batch_df, hashed=hashed)
+            fps = stats.select(
+                F.col("rep_id").alias("clip_id"), "n_subfp", "fp"
             )
-            .withColumn("keep", F.col("keep") & ~dup)
-            .drop("is_content_dup")
-        )
+            flags = process_content_increment(
+                spark, batch_df, state_dir, batch_id, keys=keys, fps=fps
+            )
+            dup = F.coalesce(F.col("is_content_dup"), F.lit(False))
+            decisions = (
+                decisions.join(
+                    flags.where(F.col("is_content_dup")).select(
+                        "clip_id", "is_content_dup"
+                    ),
+                    "clip_id",
+                    "left",
+                )
+                .withColumn(
+                    "rules_fired",
+                    F.when(
+                        dup, F.array_append("rules_fired", F.lit(CONTENT_DUP_RULE))
+                    ).otherwise(F.col("rules_fired")),
+                )
+                .withColumn("keep", F.col("keep") & ~dup)
+                .drop("is_content_dup")
+            )
+            decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(output_dir)
+        finally:
+            stats.unpersist()
+            hashed.unpersist()
+            if flags is not None:
+                flags.unpersist()
+        return
     decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
     ).partitionBy("batch_id").parquet(output_dir)
-    if flags is not None:
-        flags.unpersist()
 
 
 def stream_quality_filter(

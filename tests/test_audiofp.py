@@ -381,6 +381,72 @@ def test_candidate_pairs_hub_token_cap(spark):
     assert capped2 == {("true_a", "true_b")}
 
 
+def test_hub_cap_default_path(spark):
+    """Spec v5: the df cap is ON by default and corpus-derived. A token
+    present in more distinct fingerprints than the derived cap (floor
+    256) must be dropped WITHOUT the caller passing anything, killing
+    the d(d-1)/2 hub fan-out; max_token_df=None is the explicit opt-out
+    that restores it. Hand-made fp arrays: every clip shares two hub
+    windows ([h1..h5] → 2 tokens) then diverges."""
+    HUB = [100, 200, 300, 400, 500]
+    n = 300  # > AUTO_TOKEN_DF_FLOOR
+    rows = [
+        (f"c{i:04d}", 6, HUB + [1000 + i]) for i in range(n)
+    ]  # windows: [h1..h4], [h2..h5] (hubs), [h3,h4,h5,1000+i] (unique)
+    fps = spark.createDataFrame(rows, "clip_id string, n_subfp int, fp array<int>")
+    cap = FP.derive_max_token_df(fps)
+    # 300 distinct fps × 3 tokens = 900 postings over 302 distinct
+    # tokens → ceil(mean)=3 → 32*3=96 < floor → cap = 256 < 300 (hub df)
+    assert cap == FP.AUTO_TOKEN_DF_FLOOR
+    toks_default = FP.fingerprint_tokens(fps)
+    hub_tok = 0
+    for q in range(4):
+        hub_tok = (hub_tok << 16) | HUB[q]
+    surviving = {r.token for r in toks_default.select("token").distinct().collect()}
+    assert hub_tok not in surviving
+    # every clip keeps its unique token — only the hubs died
+    assert toks_default.count() == n
+    assert FP.fingerprint_candidate_pairs(fps).count() == 0
+    # explicit opt-out restores the uncapped fan-out (subset: 30 clips
+    # to keep the pair count small) — every pair shares the 2 hub tokens
+    sub = spark.createDataFrame(rows[:30], "clip_id string, n_subfp int, fp array<int>")
+    assert (
+        FP.fingerprint_candidate_pairs(sub, max_token_df=None).count()
+        == 30 * 29 // 2
+    )
+    # ...while the default path on the same 30 clips is ALSO uncapped
+    # (df=30 < floor): small corpora keep exact pre-v5 semantics
+    assert FP.fingerprint_candidate_pairs(sub).count() == 30 * 29 // 2
+
+
+def test_hub_cap_engine_parity(spark):
+    """derive_max_token_df (Spark) and oracle_token_cap (eager labeler)
+    are the same integer function of the same corpus: byte-identical
+    duplicate fingerprints count ONCE in both (df over distinct
+    fingerprint values), so the rep-level Spark path and the per-clip
+    oracle derive the identical cap."""
+    rows = [(f"a{i}", 6, [100, 200, 300, 400, 500, 1000 + i]) for i in range(40)]
+    rows += [("dup1", 6, rows[0][2]), ("dup2", 6, rows[0][2])]  # exact dups
+    fps = spark.createDataFrame(rows, "clip_id string, n_subfp int, fp array<int>")
+    spark_cap = FP.derive_max_token_df(fps)
+
+    def tokens_of(fp):
+        out = set()
+        for p in range(len(fp) - FP.TOKEN_LEN + 1):
+            w = fp[p : p + FP.TOKEN_LEN]
+            if len(set(w)) == 1:
+                continue
+            t = 0
+            for q in range(FP.TOKEN_LEN):
+                t = (t << 16) | w[q]
+            out.add(t)
+        return out
+
+    distinct_fps = {tuple(fp) for _, _, fp in rows}
+    oracle_cap = O.oracle_token_cap([tokens_of(list(fp)) for fp in distinct_fps])
+    assert spark_cap == oracle_cap
+
+
 def test_candidate_pairs_adaptive_floor(spark):
     """Spec v4: a clip short enough to yield exactly ONE token must still
     pair with its content copy — the floor is least(MIN_SHARED_TOKENS,
@@ -431,7 +497,13 @@ def test_fingerprint_plan_map_only(clips_df):
 
 
 def test_neardup_pairs_plan_equijoin_only(clips_df):
-    df = FP.fingerprint_neardup_pairs(clips_df)
+    # explicit fps= keeps the composed plan inspectable (the convenience
+    # fps=None branch now returns an eagerly-checkpointed frame so its
+    # internal persists can be released — its plan is a checkpoint scan)
+    from pyspark.sql import functions as SF
+
+    fps = FP.audio_fingerprints_dedup(clips_df).where(SF.col("fp").isNotNull())
+    df = FP.fingerprint_neardup_pairs(clips_df, fps=fps)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

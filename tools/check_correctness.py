@@ -74,7 +74,12 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # oracles_for retargets fixture-backed oracles to THIS sf (explicit
+    # pin + fixture regeneration, not substring-sniffing), so the full
+    # gate — flagship label oracles included — runs at any scale
+    from data_quality_checker_spark import queries as qreg
+
+    oracles = qreg.oracles_for(sf_dir)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -90,13 +95,6 @@ def main():
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            continue
-        # fixture-backed oracles read pandas-labeler parquet pinned to
-        # sf0.01 (the driver's contract sf); comparing them at another
-        # sf is meaningless by construction, not a failure
-        if "sf0.01" in oracles[name] and "sf0.01" not in os.path.normpath(sf_dir):
-            print(f"skip  {name}: fixture oracle pinned to sf0.01 "
-                  f"(spark ran clean: {len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])
