@@ -133,14 +133,16 @@ def _round_no(p: str) -> int:
     return int(m.group(1)) if m else -1
 
 
-def _latest_parsed_prev(here: str) -> tuple[str, dict] | None:
-    """Most recent prior round with a parseable result, NUMERIC round
-    order (lexicographic puts r10 before r2). Prefers the driver's
-    BENCH_r*.json; when a round was recorded with ``parsed: null``
-    (its stdout line outgrew the driver's tail window — happened in
-    round 2), falls back to our own ``BENCH/detail_rNN.json`` snapshot
-    of the same round (VERDICT r3 item 8) instead of silently skipping
-    a round of comparison."""
+def _latest_parsed_prev(here: str, sf: float) -> tuple[str, dict] | None:
+    """Most recent prior round with a parseable result AT THE SAME sf,
+    NUMERIC round order (lexicographic puts r10 before r2). Prefers the
+    driver's BENCH_r*.json; when a round was recorded with ``parsed:
+    null`` (its stdout line outgrew the driver's tail window — happened
+    in round 2), falls back to our own ``BENCH/detail_rNN.json``
+    snapshot of the same round (VERDICT r3 item 8) instead of silently
+    skipping a round of comparison. The sf guard keeps a local sf0.01
+    verify run from diffing itself against the recorded sf0.1 round —
+    cross-sf deltas are meaningless and read as huge speedups."""
     for p in sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")), key=_round_no, reverse=True
     ):
@@ -156,7 +158,11 @@ def _latest_parsed_prev(here: str) -> tuple[str, dict] | None:
                 with open(cand) as f:
                     prev = json.load(f)
                 prev = prev.get("parsed", prev) or None
-                if prev and prev.get("queries"):
+                if (
+                    prev
+                    and prev.get("queries")
+                    and float(prev.get("sf", 0.1)) == sf
+                ):
                     return label, prev
             except Exception:
                 continue
@@ -399,7 +405,7 @@ def main():
 
     # per-query delta vs the latest PARSEABLE recorded round (cold pass)
     here = os.path.dirname(os.path.abspath(__file__))
-    found = _latest_parsed_prev(here)
+    found = _latest_parsed_prev(here, sf)
     if found:
         prev_name, prev = found
         pq = prev.get("queries", {})
@@ -439,8 +445,11 @@ def main():
     # BENCH_rNN only after the round ends).
     recorded = [_round_no(p) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))]
     this_round = (max(recorded) if recorded else 0) + 1
+    # off-sf runs (local verify sweeps) get an sf-suffixed snapshot so
+    # they never shadow the round's recorded sf0.1 detail
+    suffix = "" if sf == 0.1 else f"_sf{sf:g}"
     with open(
-        os.path.join(here, "BENCH", f"detail_r{this_round:02d}.json"), "w"
+        os.path.join(here, "BENCH", f"detail_r{this_round:02d}{suffix}.json"), "w"
     ) as f:
         json.dump(full, f, indent=1, sort_keys=True)
 

@@ -37,9 +37,42 @@ from .text import portable_hash64, shingles, tokens_col
 # 28-bit md5-prefix hash and P = 2^31 - 1. All intermediates stay well
 # under 2^63 so the expression is safe under Spark's ANSI overflow checks,
 # and the identical integer arithmetic is reproduced in the DuckDB oracle.
+#
+# The (A_i, B_i) MUST be mutually independent full-range constants.
+# Two prior revisions degenerated, both found during the round-5 sf1
+# sweep (50k docs):
+#   1. A_i = 2i+1, B_i = 104729(i+1): multipliers so small the affine
+#      maps barely permute — one globally-common shingle whose H28 lands
+#      low wins the min for EVERY i in every doc containing it (the
+#      shingle ' questio', H28≈45k, put ~12% of all docs into ONE band
+#      bucket → 33.8M LSH candidate pairs).
+#   2. A_i = c(i+1), B_i = d(i+1) mod P: large but LINEARLY DEPENDENT —
+#      m_i = (i+1)(c·h+d) mod P, and for the shingle minimizing
+#      x = (c·h+d) mod P the products (i+1)·x never wrap (16x ≪ P), so
+#      that one shingle again wins all 16 minhashes (298-doc bucket).
+# md5-derived per-i constants are mutually independent; candidate volume
+# is then driven by real Jaccard overlap, which is what makes LSH
+# near-linear at corpus scale instead of one-hot-shingle quadratic.
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band → catches Jaccard ≳ 0.5 reliably
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """(A_i, B_i) for the i-th affine permutation — independent
+    full-range constants derived from md5 of the permutation index,
+    shared verbatim by the Spark expression and the DuckDB oracle SQL
+    (queries._minhash_sql). A_i ∈ [1, P-1] so products with the 28-bit
+    shingle hash stay < 2^63 (ANSI-safe)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16) % (
+        MINHASH_PRIME - 1
+    ) + 1
+    b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16) % (
+        MINHASH_PRIME
+    )
+    return a, b
 
 
 def minhash_base_hash(col: Column) -> Column:
@@ -48,8 +81,7 @@ def minhash_base_hash(col: Column) -> Column:
 
 
 def _minhash_perm(i: int, h: Column) -> Column:
-    a = 2 * i + 1
-    b = 104729 * (i + 1)
+    a, b = minhash_coeffs(i)
     return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
 
 

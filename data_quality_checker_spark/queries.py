@@ -861,8 +861,16 @@ def q_dedup_exact_docs(spark, sf_dir):
 
 
 def _minhash_sql(n_hashes: int) -> str:
+    # coefficients shared verbatim with the Spark expression — see
+    # simdedup.minhash_coeffs (full-range multipliers; small ones
+    # degenerate, see the note above simdedup.MINHASH_PRIME)
     perms = ",\n           ".join(
-        f"min((({2*i+1} * h + {104729*(i+1)}) % {simdedup.MINHASH_PRIME})) AS m{i}"
+        "min((({a} * h + {b}) % {p})) AS m{i}".format(
+            a=simdedup.minhash_coeffs(i)[0],
+            b=simdedup.minhash_coeffs(i)[1],
+            p=simdedup.MINHASH_PRIME,
+            i=i,
+        )
         for i in range(n_hashes)
     )
     return f"""
@@ -911,10 +919,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 # CTE body shared by minhash_verified_pairs and neardup_clusters (the
 # component query wraps the same pair derivation in a recursive CTE)
 def _verified_pairs_ctes() -> str:
+    # MATERIALIZED: DuckDB inlines CTEs by default, so every downstream
+    # reference would re-run the 26M-row shingle scan + band self-join;
+    # at 50k docs the re-inlined tree spilled >55 GB before the hints
     return f"""
-    sig AS ({_minhash_sql(simdedup.N_HASHES)}),
+    sig AS MATERIALIZED ({_minhash_sql(simdedup.N_HASHES)}),
     bands AS ({_band_sql()}),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM bands l JOIN bands r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
@@ -926,24 +937,24 @@ def _verified_pairs_ctes() -> str:
             FROM documents
             WHERE length(text) >= 8 AND doc_id IN (SELECT doc_id FROM ids))
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c
-      JOIN csh a ON a.doc_id = c.doc_a
-      JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY 1, 2
+    -- per-doc shingle LISTS: the intersection is then list_intersect
+    -- per candidate pair — strictly linear in |cand|. (An earlier
+    -- shingle-equality formulation let the optimizer flip to a
+    -- corpus-wide shingle self-join at 50k docs — sum(df^2) rows of
+    -- spill; same values, catastrophically different plan.)
+    dlists AS MATERIALIZED (
+      SELECT doc_id, list(shingle) AS sh, count(*) AS n_sh
+      FROM csh GROUP BY doc_id
     ),
     vp AS (
-      SELECT c.doc_a, c.doc_b,
-             round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-                   / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
-      FROM cand c
-      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-      JOIN sizes sa ON sa.doc_id = c.doc_a
-      JOIN sizes sb ON sb.doc_id = c.doc_b
-      WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-            / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) >= 0.5
+      SELECT doc_a, doc_b, round(raw_j, 6) AS jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(la.sh, lb.sh)) AS DOUBLE)
+               / (la.n_sh + lb.n_sh - len(list_intersect(la.sh, lb.sh))) AS raw_j
+        FROM cand c
+        JOIN dlists la ON la.doc_id = c.doc_a
+        JOIN dlists lb ON lb.doc_id = c.doc_b
+      ) WHERE raw_j >= 0.5
     )"""
 
 

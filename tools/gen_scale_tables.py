@@ -220,6 +220,18 @@ def gen_events(out_dir: str, sf: float, rng: np.random.Generator) -> None:
 
 
 def _doc_texts(n: int, rng: np.random.Generator) -> list[str]:
+    """Zipfian text over a LARGE vocabulary. Deliberate divergence from
+    the driver's tables: TESTDATA's documents draw from a ~30-word
+    vocabulary, which makes MinHash-LSH candidate pairs inherently
+    QUADRATIC (measured on the driver's own parquet: 3,001 candidates at
+    500 docs → 312,113 at 5,000 — every doc is a near-dup of every
+    other). That regime is a property of the toy corpus, not of any
+    engine; scaling it 10× just benchmarks a 62M-row pair explosion. A
+    web corpus' shingle sets are near-unique outside genuine near-dups,
+    so the sweep corpus uses an 8k-word Zipf vocabulary + 30–120-token
+    docs; candidate volume then scales ~linearly and the planted
+    dup/near-dup structure (below) is what the dedup tier actually finds.
+    """
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -233,9 +245,21 @@ def _doc_texts(n: int, rng: np.random.Generator) -> list[str]:
             "key", "scan", "vector", "line", "part", "order", "value",
             "data", "big", "small", "fast", "slow",
         ]
+        + [f"term{i:04d}" for i in range(8000)]
     )
-    lengths = rng.integers(12, 60, n)
-    texts = [" ".join(rng.choice(vocab, int(ln))) for ln in lengths]
+    # mixed head/tail distribution: ~30% of tokens from the small common
+    # vocabulary, ~70% uniform over the 8k tail terms — a pure 1/rank
+    # Zipf over 8k words still concentrates enough mass in its head that
+    # min-hashes collide corpus-wide (measured: 46M LSH candidates);
+    # this mix keeps shingle sets document-specific outside real overlap
+    n_common = len(vocab) - 8000
+    probs = np.empty(len(vocab))
+    probs[:n_common] = 0.30 / n_common
+    probs[n_common:] = 0.70 / 8000
+    lengths = rng.integers(30, 121, n)
+    texts = [
+        " ".join(rng.choice(vocab, int(ln), p=probs)) for ln in lengths
+    ]
     # plant exact dups (~0.16%) and near-dups (~1%: copy with 2 token
     # edits — inside typical Jaccard-0.8 shingle similarity)
     n_dup = max(1, n // 625)
@@ -275,15 +299,18 @@ def gen_embeddings(out_dir: str, sf: float, rng: np.random.Generator) -> None:
     n = int(ROWS_PER_SF["embeddings"] * sf)
     dim = 64
     labels = rng.integers(0, 10, n).astype(np.int32)
-    centers = rng.normal(0.0, 1.0, (10, dim))
-    vecs = centers[labels] + rng.normal(0.0, 0.35, (n, dim))
-    # planted near-identical pairs (~2%) — the near-dup recall regime
-    n_near = max(1, n // 50)
+    # the driver's geometry (measured at sf0.01/sf0.1): iid gaussian
+    # unit-norm vectors — cosine ~ N(0, 1/sqrt(64)), so the >=0.35 pair
+    # fraction is the natural ~0.2% gaussian tail and pair-producing
+    # queries scale the same way they do on the driver's tables
+    vecs = rng.normal(0.0, 1.0, (n, dim))
+    # a small planted near-identical set (~0.2%) keeps a genuine
+    # near-dup regime present without distorting the pair-count scaling
+    n_near = max(1, n // 500)
     src = rng.choice(n, n_near, replace=False)
     dst = rng.choice(n, n_near, replace=False)
-    vecs[dst] = vecs[src] * rng.uniform(0.98, 1.02, (n_near, 1)) + rng.normal(
-        0.0, 0.01, (n_near, dim)
-    )
+    vecs[dst] = vecs[src] + rng.normal(0.0, 0.05, (n_near, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     _write(
         pd.DataFrame(
             {
