@@ -60,6 +60,21 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def round6(col):
+    """Engine-deterministic 6-decimal rounding: ``floor(x*1e6 + 0.5)/1e6``.
+
+    ``F.round`` and SQL ``round`` disagree across engines on
+    representational ties: Spark rounds the double's SHORTEST decimal
+    repr with HALF_UP (``double(323/640)`` prints as ``0.5046875`` →
+    ``0.504688``) while DuckDB rounds the binary value
+    (``0.50468749999999997`` → ``0.504687``). Per-row ratios over
+    ``2^a·5^b`` denominators hit such ties routinely at scale (first
+    seen in the sf1 sweep). ``floor`` over the same IEEE product is
+    bit-identical in both engines. Non-negative inputs only.
+    """
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic document quality score from length / punctuation /
     stopword ratios (the reference's string-quality checks, generalized).
@@ -87,10 +102,10 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
-        F.round(score, 6).alias("quality"),
+        round6(alpha_ratio).alias("alpha_ratio"),
+        round6(stop_ratio).alias("stop_ratio"),
+        round6(mean_tok_len).alias("mean_tok_len"),
+        round6(score).alias("quality"),
     )
 
 
@@ -104,7 +119,7 @@ def langid_heuristic(docs: DataFrame, min_ratio: float = 0.04) -> DataFrame:
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
-        F.round(ratio, 6).alias("stop_ratio"),
+        round6(ratio).alias("stop_ratio"),
         F.when(ratio >= min_ratio, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
     )
 

@@ -554,24 +554,31 @@ def q_window_rank(spark, sf_dir):
     "join_fk_count",
     """
     SELECT count(*) AS n,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1997-06-01'
     """,
 )
 def q_join_fk_count(spark, sf_dir):
     """J1 — FK equi-join + time-window filter (metrics.py:48-52). The
-    filtered orders side is small → broadcast; revenue summed in exact
-    decimal so the result is order-independent."""
+    filtered orders side is small → broadcast. Revenue is summed as
+    6-decimal SCALED INTEGERS (floor(x*1e6+0.5), exact decimal(38,0)
+    sum) so the result is order-independent AND engine-deterministic:
+    a double→decimal cast rounds the shortest decimal repr HALF_UP in
+    Spark but the binary value in DuckDB, and over millions of items
+    those representational ties diverge (first seen in the sf1 sweep).
+    floor over identical IEEE products is bit-identical everywhere; the
+    decimal(38,0) sum cannot overflow at any realistic scale."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
     j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return j.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-        ).cast("double").alias("revenue"),
+        (F.sum(scaled).cast("double") / F.lit(1e6)).alias("revenue"),
     )
 
 
@@ -782,13 +789,13 @@ _STOPWORDS_SQL = "','".join(text_ops.EN_STOPWORDS)
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(n_alpha / n_chars, 6) AS alpha_ratio,
-           round(n_stop / n_tokens, 6) AS stop_ratio,
-           round((n_chars - n_spaces) / n_tokens, 6) AS mean_tok_len,
-           round(0.5 * (n_alpha / n_chars)
-                 + 0.3 * least(n_stop / n_tokens * 4, 1.0)
-                 + 0.2 * (CASE WHEN (n_chars - n_spaces) / n_tokens BETWEEN 3 AND 9
-                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+           floor(n_alpha / n_chars * 1e6 + 0.5) / 1e6 AS alpha_ratio,
+           floor(n_stop / n_tokens * 1e6 + 0.5) / 1e6 AS stop_ratio,
+           floor((n_chars - n_spaces) / n_tokens * 1e6 + 0.5) / 1e6 AS mean_tok_len,
+           floor((0.5 * (n_alpha / n_chars)
+                  + 0.3 * least(n_stop / n_tokens * 4, 1.0)
+                  + 0.2 * (CASE WHEN (n_chars - n_spaces) / n_tokens BETWEEN 3 AND 9
+                                THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS quality
     FROM f
     """,
 )
@@ -809,7 +816,7 @@ def q_doc_quality(spark, sf_dir):
                / len(string_split_regex(trim(text), '\s+')) AS ratio
       FROM documents
     )
-    SELECT doc_id, lang_label, round(ratio, 6) AS stop_ratio,
+    SELECT doc_id, lang_label, floor(ratio * 1e6 + 0.5) / 1e6 AS stop_ratio,
            CASE WHEN ratio >= 0.04 THEN 'en' ELSE 'und' END AS lang_pred
     FROM f
     """,
