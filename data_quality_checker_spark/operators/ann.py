@@ -43,9 +43,12 @@ Four tiers, per the standard large-corpus design (Faiss-style):
   general regime (true neighbors at cosine≈0.37 — PQ distortion is
   comparable to the neighbor gap, the worst case for ADC): at sf0.1,
   pq_m=8 (64× compression) reaches 0.66 at nprobe=48/refine 4 while
-  pq_m=16 (32×) reaches **0.94** at nprobe=64/refine 8 — matching the
-  raw-vector IVF tier; BENCH `ann_ivfpq_recall`. The standard
-  accuracy-for-memory dial: halve dsub to halve distortion.
+  pq_m=16 (32×) reaches **0.94** at nprobe=64/refine 24 — matching the
+  raw-vector IVF tier at sf0.1 AND at the 10× sweep's 20k vectors
+  (refine 8's 40-candidate pool thinned to 0.88 there; the re-rank pool
+  is O(Q·k) work independent of corpus size, so 24 is the default);
+  BENCH `ann_ivfpq_recall`. The standard accuracy-for-memory dial:
+  halve dsub to halve distortion.
 
 All candidate→exact stages re-rank with true cosine, so precision is
 exact; only recall is approximate (ADC-only results expose an

@@ -1883,7 +1883,12 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     # pq_m=16 (dsub=4, 32× compression at dim 64): halves the residual
     # quantization distortion vs pq_m=8, which in this corpus' hard
     # cosine≈0.37 regime lifts measured sf0.1 recall 0.66 → 0.94 —
-    # matching the raw-vector IVF tier — at nprobe=64 / refine_mult=8.
+    # matching the raw-vector IVF tier — at nprobe=64. refine_mult=24
+    # (the exact re-rank pool, k·24 = 120 rows/query — O(Q·k·dim) work,
+    # INDEPENDENT of corpus size): the round-5 10× sweep showed the ADC
+    # top-40 pool thins as distractor density grows (recall 0.94 at 2k
+    # vectors → 0.88 at 20k with refine_mult=8); 120 candidates restores
+    # 0.94 at 20k and leaves sf0.1 recall and wall time unchanged.
     path = f"/tmp/dqc_ivfpq16_{base}{_TAG}"
     if not os.path.exists(f"{path}/codebooks.parquet"):
         tmp = f"{path}.tmp.{os.getpid()}"
@@ -1892,7 +1897,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)
     out = ann.ivfpq_topk_from_index(
-        spark, path, q, k=5, nprobe=64, refine_emb=e, refine_mult=8
+        spark, path, q, k=5, nprobe=64, refine_emb=e, refine_mult=24
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
