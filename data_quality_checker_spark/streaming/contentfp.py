@@ -69,6 +69,23 @@ from .incremental import (
 
 N_FP_BUCKETS = 256
 
+# DQC_TIMING=1 prints per-section wall times between the tick's eager
+# actions ("[fp-tick] <label>: <sec>") — the observability that found the
+# round-5 fixed-cost regression; zero overhead when unset.
+_TIMING = os.environ.get("DQC_TIMING") == "1"
+_t_prev: list[float] = []
+
+
+def _t(label: str) -> None:
+    if not _TIMING:
+        return
+    import time
+
+    now = time.time()
+    if _t_prev and label != "start":
+        print(f"[fp-tick] {label}: {now - _t_prev[0]:.1f}s", flush=True)
+    _t_prev[:] = [now]
+
 
 def _tokens_path(state_dir: str) -> str:
     return os.path.join(state_dir, "fp_tokens")
@@ -153,8 +170,10 @@ def process_content_increment(
     base tier's single decode + sha pass; when omitted the tick computes
     them itself (one sha pass, one rep-level decode pass). Caller-owned
     frames are never unpersisted here."""
+    _t("start")
     recover_table_compaction(state_dir, "fp_tokens", "tbkt", "fptok")
     recover_table_compaction(state_dir, "fp_store", "cbkt", "fpstore")
+    _t("recover")
     batch_seen = os.path.exists(_marker(state_dir, batch_id))
 
     owned: list[DataFrame] = []
@@ -189,6 +208,7 @@ def process_content_increment(
             max_token_df = derive_max_token_df(fps, token_stride)
         toks = fingerprint_tokens(fps, token_stride, max_token_df).persist()
         toks.count()
+        _t("cap+toks")
         owned.append(toks)
 
         # --- across batches: probe the token index, verify vs the store
@@ -199,6 +219,7 @@ def process_content_increment(
         reg_toks = _read_bucketed(
             spark, _tokens_path(state_dir), "tbkt", probe_buckets
         )
+        _t("probe_buckets+regtoks_listing")
         cross = None
         if reg_toks is not None:
             # same candidate discipline as the batch operator: shared
@@ -225,6 +246,7 @@ def process_content_increment(
             store = _read_bucketed(
                 spark, _store_path(state_dir), "cbkt", keeper_buckets
             )
+            _t("cand+keeper_buckets+store_listing")
             if store is not None:
                 # reg_batch: the batch that registered each keeper.
                 # Registries written before the columns existed read as
@@ -368,7 +390,9 @@ def process_content_increment(
         # the file-listing snapshot racing the self-append. The persist
         # freezes the probe-join results first.
         rows = out.persist()
+        _t("plan_build")
         rows.count()
+        _t("rows_count")
 
         if not batch_seen:
             # register the batch's NEW keepers: not a dup of anything.
@@ -377,9 +401,19 @@ def process_content_increment(
             keepers = rows.where(~F.col("is_content_dup")).select("clip_id")
             kfps = fps.join(keepers, "clip_id", "left_semi")
             ktoks = toks.join(keepers, "clip_id", "left_semi")
-            ktoks.withColumn("tbkt", _tbkt("token")).write.mode("append").partitionBy(
+            # repartition by the partition column: ONE file per touched
+            # bucket per tick regardless of upstream task count. toks is
+            # a persisted 8-partition frame and the keeper semi join is
+            # broadcast (no shuffle), so the unrepartitioned write put 8
+            # files in EVERY bucket per tick — tick 2 then tripped
+            # MAX_BUCKET_FILES on all 256 buckets of both tables at once
+            # (the round-5 streaming fixed-cost regression)
+            ktoks.withColumn("tbkt", _tbkt("token")).repartition(
+                F.col("tbkt")
+            ).write.mode("append").partitionBy(
                 "tbkt"
             ).parquet(_tokens_path(state_dir))
+            _t("ktoks_write")
             # n_tok: the keeper's GLOBAL distinct-token count, stored so
             # later batches can apply the adaptive candidate floor
             # (least(MIN, n_tok_keeper, n_tok_probe)) over pruned bucket
@@ -392,11 +426,14 @@ def process_content_increment(
                 ktok_cnt, "clip_id", "left"
             ).withColumn(
                 "reg_batch", F.lit(batch_id)
-            ).withColumn("cbkt", _cbkt("clip_id")).write.mode("append").partitionBy(
+            ).withColumn("cbkt", _cbkt("clip_id")).repartition(
+                F.col("cbkt")
+            ).write.mode("append").partitionBy(
                 "cbkt"
             ).parquet(
                 _store_path(state_dir)
             )
+            _t("store_write")
             os.makedirs(os.path.dirname(_marker(state_dir, batch_id)), exist_ok=True)
             with open(_marker(state_dir, batch_id), "w"):
                 pass
@@ -408,12 +445,14 @@ def process_content_increment(
                 r["b"]
                 for r in kfps.select(_cbkt("clip_id").alias("b")).distinct().collect()
             )
+            _t("reg_bucket_collects")
             compact_table_buckets(
                 spark, state_dir, token_buckets, "fp_tokens", "tbkt", "fptok"
             )
             compact_table_buckets(
                 spark, state_dir, store_buckets, "fp_store", "cbkt", "fpstore"
             )
+            _t("compaction")
         return rows
     finally:
         for frame in owned:

@@ -136,30 +136,56 @@ def compact_table_buckets(
     FileSystem API (or the table graduates to Iceberg, whose rewrite
     action is this operation natively — see run/ddl.py)."""
     reg_root = os.path.join(state_dir, table)
+    flagged = []
     for b in buckets:
         bdir = os.path.join(reg_root, f"{part}={b}")
         try:
             n_files = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
         except FileNotFoundError:
             continue
-        if n_files <= MAX_BUCKET_FILES:
+        if n_files > MAX_BUCKET_FILES:
+            flagged.append(b)
+    if not flagged:
+        return
+    # ONE Spark job rewrites every flagged bucket — the round-5 fixed-cost
+    # fix: the previous per-bucket loop launched one read+coalesce+write
+    # job PER bucket, and a tick whose appends pushed all 256 buckets of
+    # both fingerprint tables over the bound paid a 512-job, ~65 s driver
+    # storm. Partition pruning reads just the flagged dirs; the
+    # repartition by the partition column lands each bucket in exactly
+    # one task → one output file per bucket.
+    #
+    # The write materializes the full flagged read BEFORE any source dir
+    # is touched. distinct(): a crash between a batch's table append and
+    # its marker write makes the replay re-append identical rows —
+    # downstream min/distinct keeps RESULTS correct, but without this the
+    # bloat would survive every rewrite and grow per crash-replay.
+    tmproot = os.path.join(state_dir, f".{tag}_compact_tmp_batch")
+    shutil.rmtree(tmproot, ignore_errors=True)
+    (
+        spark.read.parquet(reg_root)
+        .where(F.col(part).isin(*flagged))
+        .distinct()
+        .repartition(F.col(part))
+        .write.mode("overwrite")
+        .partitionBy(part)
+        .parquet(tmproot)
+    )
+    # per-bucket swap, same crash protocol as before: a leftover tmp root
+    # is swept by recover_table_compaction's .{tag}_compact_tmp_* rule; a
+    # mid-swap crash leaves .{tag}_compact_old_{b} with the bucket dir
+    # missing (restored) or present (completed, old deleted)
+    for b in flagged:
+        bdir = os.path.join(reg_root, f"{part}={b}")
+        tmp_b = os.path.join(tmproot, f"{part}={b}")
+        if not os.path.exists(tmp_b):
             continue
-        tmp = os.path.join(state_dir, f".{tag}_compact_tmp_{b}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        # the write materializes the full bucket read BEFORE the source
-        # dir is touched (the partition column lives in the dir name).
-        # distinct(): a crash between a batch's table append and its
-        # marker write makes the replay re-append identical rows —
-        # downstream min/distinct keeps RESULTS correct, but without this
-        # the bloat would survive every rewrite and grow per crash-replay
-        spark.read.parquet(bdir).distinct().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
         old = os.path.join(state_dir, f".{tag}_compact_old_{b}")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(bdir, old)
-        os.rename(tmp, bdir)
+        os.rename(tmp_b, bdir)
         shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmproot, ignore_errors=True)
 
 
 # original (sha-specific) names, kept for call sites and tests
@@ -261,9 +287,16 @@ def process_increment(
     decisions = decide(flagged, cfg, dur_bounds)
 
     if not batch_seen:
-        new_keepers.withColumn("sbkt", sha_bucket_expr("sha")).write.mode(
-            "append"
-        ).partitionBy("sbkt").parquet(_registry_path(state_dir))
+        # repartition by the partition column: exactly ONE parquet file
+        # per touched bucket per tick, whatever the upstream task count
+        # (W write tasks would otherwise append up to W files per bucket
+        # per tick and trip the compaction bound W× sooner — at cluster
+        # scale, every tick)
+        new_keepers.withColumn("sbkt", sha_bucket_expr("sha")).repartition(
+            F.col("sbkt")
+        ).write.mode("append").partitionBy("sbkt").parquet(
+            _registry_path(state_dir)
+        )
         os.makedirs(_batches_path(state_dir), exist_ok=True)
         with open(_batch_marker(state_dir, batch_id), "w"):
             pass
