@@ -205,14 +205,21 @@ def test_neardup_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
         "doc_a bigint, doc_b bigint",
     )
-    got = {
-        r["doc_id"]: (r["cluster_id"], r["is_dup"])
-        for r in simdedup.neardup_components(pairs).collect()
-    }
-    assert got == {
+    expected = {
         1: (1, False), 2: (1, True), 3: (1, True), 4: (1, True), 5: (1, True),
         10: (10, False), 11: (10, True), 12: (10, True),
     }
+    # both paths must produce identical components: the driver-side
+    # union-find fast path (default bound) and the distributed min-label
+    # propagation (bound 0 forces it)
+    for bound in (100_000, 0):
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_dup"])
+            for r in simdedup.neardup_components(
+                pairs, driver_edge_bound=bound
+            ).collect()
+        }
+        assert got == expected, bound
 
 
 def test_lsh_topk_regime_guard(spark):
