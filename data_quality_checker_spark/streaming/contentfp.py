@@ -64,9 +64,13 @@ from ..operators.simdedup import neardup_components
 from .incremental import (
     MAX_BUCKET_FILES,  # noqa: F401  (re-exported for tests/docs)
     compact_table_buckets,
+    pin_bucket_count,
     recover_table_compaction,
 )
 
+# Upper bound; the effective fan-out is pinned per state_dir at first
+# tick (incremental.pin_bucket_count) so small streams don't pay a
+# 256-dir append per tick — see the N_SHA_BUCKETS comment.
 N_FP_BUCKETS = 256
 
 # DQC_TIMING=1 prints per-section wall times between the tick's eager
@@ -99,12 +103,14 @@ def _marker(state_dir: str, batch_id: int) -> str:
     return os.path.join(state_dir, "fp_batches", f"{batch_id}.done")
 
 
-def _tbkt(col):
-    return F.pmod(F.xxhash64(col), F.lit(N_FP_BUCKETS)).cast("int")
+def _tbkt(col, n_buckets: int | None = None):
+    n = N_FP_BUCKETS if n_buckets is None else n_buckets
+    return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
 
 
-def _cbkt(col):
-    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(N_FP_BUCKETS)).cast(
+def _cbkt(col, n_buckets: int | None = None):
+    n = N_FP_BUCKETS if n_buckets is None else n_buckets
+    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n)).cast(
         "int"
     )
 
@@ -173,6 +179,12 @@ def process_content_increment(
     _t("start")
     recover_table_compaction(state_dir, "fp_tokens", "tbkt", "fptok")
     recover_table_compaction(state_dir, "fp_store", "cbkt", "fpstore")
+    # effective bucket fan-out, pinned per state_dir at first tick (both
+    # fp tables share it; the sha tick usually pinned the sha count from
+    # the same batch already, so the meta file is just extended here)
+    n_bkt = pin_bucket_count(
+        state_dir, "n_fp_buckets", "fp_tokens", new_clips.count, N_FP_BUCKETS
+    )
     _t("recover")
     batch_seen = os.path.exists(_marker(state_dir, batch_id))
 
@@ -207,19 +219,23 @@ def process_content_increment(
         if max_token_df == "auto":
             max_token_df = derive_max_token_df(fps, token_stride)
         toks = fingerprint_tokens(fps, token_stride, max_token_df).persist()
-        toks.count()
-        _t("cap+toks")
         owned.append(toks)
 
         # --- across batches: probe the token index, verify vs the store
+        # (this collect is also the action that materializes the toks
+        # persist — a separate toks.count() would be one more fixed-cost
+        # job per tick for the same scan)
         probe_buckets = sorted(
             r["b"]
-            for r in toks.select(_tbkt("token").alias("b")).distinct().collect()
+            for r in toks.select(_tbkt("token", n_bkt).alias("b"))
+            .distinct()
+            .collect()
         )
+        _t("cap+toks+probe_buckets")
         reg_toks = _read_bucketed(
             spark, _tokens_path(state_dir), "tbkt", probe_buckets
         )
-        _t("probe_buckets+regtoks_listing")
+        _t("regtoks_listing")
         cross = None
         if reg_toks is not None:
             # same candidate discipline as the batch operator: shared
@@ -229,6 +245,13 @@ def process_content_increment(
             # array ships, the keeper-side least() needs the keeper's
             # global token count, which registration stores as ``n_tok``
             # (pruned bucket reads cannot reconstruct it)
+            # persisted: the keeper-bucket collect below must evaluate
+            # this registry-probe join anyway — without the barrier the
+            # rows job would re-read the pruned registry buckets and
+            # re-run the whole join a second time (one more fixed-cost
+            # job's worth of work per tick), and the persist also
+            # freezes the probe result before the tick's own appends
+            # land in the same paths
             cand = (
                 toks.join(reg_toks.select("token", "clip_id").withColumnRenamed(
                     "clip_id", "keeper_id"
@@ -238,10 +261,14 @@ def process_content_increment(
                     F.col("keeper_id").alias("clip_a"),
                 )
                 .agg(F.count(F.lit(1)).alias("n_shared"))
+                .persist()
             )
+            owned.append(cand)
             keeper_buckets = sorted(
                 r["b"]
-                for r in cand.select(_cbkt("clip_a").alias("b")).distinct().collect()
+                for r in cand.select(_cbkt("clip_a", n_bkt).alias("b"))
+                .distinct()
+                .collect()
             )
             store = _read_bucketed(
                 spark, _store_path(state_dir), "cbkt", keeper_buckets
@@ -408,7 +435,7 @@ def process_content_increment(
             # files in EVERY bucket per tick — tick 2 then tripped
             # MAX_BUCKET_FILES on all 256 buckets of both tables at once
             # (the round-5 streaming fixed-cost regression)
-            ktoks.withColumn("tbkt", _tbkt("token")).repartition(
+            ktoks.withColumn("tbkt", _tbkt("token", n_bkt)).repartition(
                 F.col("tbkt")
             ).write.mode("append").partitionBy(
                 "tbkt"
@@ -426,7 +453,7 @@ def process_content_increment(
                 ktok_cnt, "clip_id", "left"
             ).withColumn(
                 "reg_batch", F.lit(batch_id)
-            ).withColumn("cbkt", _cbkt("clip_id")).repartition(
+            ).withColumn("cbkt", _cbkt("clip_id", n_bkt)).repartition(
                 F.col("cbkt")
             ).write.mode("append").partitionBy(
                 "cbkt"
@@ -437,20 +464,18 @@ def process_content_increment(
             os.makedirs(os.path.dirname(_marker(state_dir, batch_id)), exist_ok=True)
             with open(_marker(state_dir, batch_id), "w"):
                 pass
-            token_buckets = sorted(
-                r["b"]
-                for r in ktoks.select(_tbkt("token").alias("b")).distinct().collect()
-            )
-            store_buckets = sorted(
-                r["b"]
-                for r in kfps.select(_cbkt("clip_id").alias("b")).distinct().collect()
-            )
-            _t("reg_bucket_collects")
+            # compaction candidates: ALL buckets, not a collect of the
+            # buckets this tick touched — the over-bound check is an
+            # os.listdir per existing bucket dir (microseconds), while
+            # the two touched-bucket collects were one Spark job each
+            # per tick. A bucket another tick pushed over the bound gets
+            # compacted here too, which only tightens the file bound.
+            all_buckets = list(range(n_bkt))
             compact_table_buckets(
-                spark, state_dir, token_buckets, "fp_tokens", "tbkt", "fptok"
+                spark, state_dir, all_buckets, "fp_tokens", "tbkt", "fptok"
             )
             compact_table_buckets(
-                spark, state_dir, store_buckets, "fp_store", "cbkt", "fpstore"
+                spark, state_dir, all_buckets, "fp_store", "cbkt", "fpstore"
             )
             _t("compaction")
         return rows

@@ -51,6 +51,7 @@ run/job.py).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -62,10 +63,20 @@ from ..operators.dedup import keepers_by_sha, sha1_expr
 from ..pipeline import decide, enrich
 from ..schema import CLIPS_SCHEMA
 
-# Registry bucket fan-out. Sized so one bucket of a 10^9-sha registry is
-# ~4M rows (~200 MB of sha+clip_id) — one comfortable scan task; raise for
-# bigger registries (requires re-bucketing, i.e. one rewrite of the table).
+# Registry bucket fan-out UPPER BOUND. Sized so one bucket of a 10^9-sha
+# registry is ~4M rows (~200 MB of sha+clip_id) — one comfortable scan
+# task. The EFFECTIVE count is pinned per state_dir at first tick
+# (pin_bucket_count): derived from the first micro-batch's size so a
+# small stream doesn't pay a 256-dir append per tick (each partition dir
+# in an append is one task-commit + parquet-writer init — measured 4–6 s
+# per 256-dir write vs 0.7–0.9 s at 32 dirs on tiny ticks, a pure
+# fixed cost that at production tick sizes amortizes into the data).
+# Re-bucketing an existing registry = one rewrite of the table.
 N_SHA_BUCKETS = 256
+
+# Bucket-count derivation floor: even the smallest stream keeps enough
+# fan-out for pruned reads to skip most of the registry.
+MIN_REGISTRY_BUCKETS = 32
 
 # Per-bucket parquet-file bound: each micro-batch appends one file set per
 # touched bucket, so after B batches a hot bucket holds O(B) small files
@@ -86,8 +97,66 @@ def _batch_marker(state_dir: str, batch_id: int) -> str:
     return os.path.join(_batches_path(state_dir), f"{batch_id}.done")
 
 
-def sha_bucket_expr(col: Column | str):
-    return F.pmod(F.xxhash64(col), F.lit(N_SHA_BUCKETS)).cast("int")
+def sha_bucket_expr(col: Column | str, n_buckets: int | None = None):
+    n = N_SHA_BUCKETS if n_buckets is None else n_buckets
+    return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
+
+
+def _meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "registry_meta.json")
+
+
+def load_registry_meta(state_dir: str) -> dict:
+    try:
+        with open(_meta_path(state_dir)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def pin_bucket_count(
+    state_dir: str,
+    key: str,
+    table: str,
+    batch_rows,
+    upper: int,
+    explicit: int | None = None,
+) -> int:
+    """Resolve the EFFECTIVE bucket count for one registry table and pin
+    it in ``state_dir/registry_meta.json`` so every later tick (and any
+    replay) agrees — bucket count is a property of the registry, like
+    Iceberg's ``bucket(N, col)`` DDL, and changing it means rewriting
+    the table.
+
+    Resolution order: pinned meta value → ``explicit`` caller override →
+    legacy (table dir exists with no meta: it was written under the
+    module global, pin that) → derived from the first batch's row count
+    (``batch_rows`` is a thunk — only evaluated here, on the one tick
+    per stream lifetime that actually derives): the next power of two of
+    rows/64 clamped to [min(MIN_REGISTRY_BUCKETS, upper), upper], so a
+    500-clip sandbox tick gets 32 dirs per append while a 10^6-clip
+    production tick gets the full ``upper`` fan-out.
+
+    Single-writer (the stream checkpoint enforces one owner per
+    state_dir), so plain read-modify-write + atomic rename suffices."""
+    meta = load_registry_meta(state_dir)
+    if key in meta:
+        return int(meta[key])
+    if explicit is not None:
+        n = int(explicit)
+    elif os.path.exists(os.path.join(state_dir, table)):
+        n = upper
+    else:
+        rows = max(1, int(batch_rows() if callable(batch_rows) else batch_rows))
+        n = 1 << max(0, (rows // 64) - 1).bit_length()
+        n = max(min(MIN_REGISTRY_BUCKETS, upper), min(upper, n))
+    meta[key] = n
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _meta_path(state_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _meta_path(state_dir))
+    return n
 
 
 def recover_table_compaction(
@@ -228,6 +297,7 @@ def process_increment(
     dur_bounds: tuple[float, float] | None = None,
     hashed: DataFrame | None = None,
     stats: DataFrame | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Score one micro-batch against (and then update) the SHA registry.
     Returns the decisions frame for the batch. Idempotent per batch_id
@@ -238,7 +308,8 @@ def process_increment(
     pipeline.audio_stats_table frames; pass them when another tier in
     the same tick shares the sha pass / decode pass (process_and_write's
     content_dedup path computes both ONCE for the base and content
-    tiers)."""
+    tiers). ``n_buckets`` overrides the registry bucket fan-out on the
+    FIRST tick only (pinned in registry_meta.json thereafter)."""
     _recover_compaction(state_dir)
     batch_seen = os.path.exists(_batch_marker(state_dir, batch_id))
 
@@ -247,12 +318,20 @@ def process_increment(
         hashed = new_clips.select("clip_id", sha1_expr("bytes").alias("sha"))
     else:
         hashed = hashed.select("clip_id", "sha")
+    n_bkt = pin_bucket_count(
+        state_dir,
+        "n_sha_buckets",
+        "sha_registry",
+        new_clips.count,
+        N_SHA_BUCKETS,
+        explicit=n_buckets,
+    )
     # the registry buckets this batch can possibly collide with — a tiny
-    # distinct-agg (≤ N_SHA_BUCKETS values) over the slim hashed frame
+    # distinct-agg (≤ n_bkt values) over the slim hashed frame
     batch_buckets = sorted(
         r["b"]
         for r in hashed.where(F.col("sha").isNotNull())
-        .select(sha_bucket_expr("sha").alias("b"))
+        .select(sha_bucket_expr("sha", n_bkt).alias("b"))
         .distinct()
         .collect()
     )
@@ -292,7 +371,7 @@ def process_increment(
         # (W write tasks would otherwise append up to W files per bucket
         # per tick and trip the compaction bound W× sooner — at cluster
         # scale, every tick)
-        new_keepers.withColumn("sbkt", sha_bucket_expr("sha")).repartition(
+        new_keepers.withColumn("sbkt", sha_bucket_expr("sha", n_bkt)).repartition(
             F.col("sbkt")
         ).write.mode("append").partitionBy("sbkt").parquet(
             _registry_path(state_dir)

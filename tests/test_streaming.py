@@ -100,20 +100,27 @@ def test_registry_read_is_bucket_pruned(spark, halves, tmp_path_factory):
     state = str(tmp_path_factory.mktemp("stream_state4"))
     files = sorted(glob.glob(os.path.join(halves, "*.parquet")))
     b0 = spark.read.parquet(files[0])
-    process_increment(spark, b0, state, 0).count()
+    # explicit fan-out override (first tick pins it): with the derived
+    # sandbox-sized count every bucket would be occupied and no foreign
+    # bucket would exist to plant the corrupt file in
+    process_increment(spark, b0, state, 0, n_buckets=256).count()
 
+    from data_quality_checker_spark.streaming.incremental import (
+        load_registry_meta,
+    )
+
+    n_bkt = load_registry_meta(state)["n_sha_buckets"]
+    assert n_bkt == 256  # the explicit override was pinned
     b1 = spark.read.parquet(files[1])
     used = {
         r["b"]
         for r in b1.select(sha1_expr("bytes").alias("sha"))
         .where(F.col("sha").isNotNull())
-        .select(sha_bucket_expr("sha").alias("b"))
+        .select(sha_bucket_expr("sha", n_bkt).alias("b"))
         .distinct()
         .collect()
     }
-    from data_quality_checker_spark.streaming.incremental import N_SHA_BUCKETS
-
-    foreign = next(b for b in range(N_SHA_BUCKETS) if b not in used)
+    foreign = next(b for b in range(n_bkt) if b not in used)
     bad_dir = os.path.join(state, "sha_registry", f"sbkt={foreign}")
     os.makedirs(bad_dir, exist_ok=True)
     with open(os.path.join(bad_dir, "part-corrupt.parquet"), "wb") as f:
@@ -357,3 +364,50 @@ def test_pure_streaming_multi_batch_dedup_consistency(spark, clips_df, tmp_path_
     expected_dups = sum(r["count"] - 1 for r in groups.collect())
     assert n_dup_flagged == expected_dups
     assert expected_dups > 0
+
+
+def test_bucket_count_pinning(tmp_path):
+    """Registry fan-out derives from first-batch size, clamps to
+    [MIN_REGISTRY_BUCKETS, N_SHA_BUCKETS], pins in registry_meta.json
+    (later calls return the pinned value whatever they pass), and
+    legacy registries (table dir without meta) pin the module global."""
+    from data_quality_checker_spark.streaming.incremental import (
+        MIN_REGISTRY_BUCKETS,
+        N_SHA_BUCKETS,
+        load_registry_meta,
+        pin_bucket_count,
+    )
+
+    s = str(tmp_path / "s1")
+    # small stream -> floor
+    assert pin_bucket_count(s, "n_sha_buckets", "sha_registry", 500, 256) == 32
+    # pinned: a later tick with a huge batch still gets 32
+    assert pin_bucket_count(s, "n_sha_buckets", "sha_registry", 10**6, 256) == 32
+    assert load_registry_meta(s)["n_sha_buckets"] == 32
+    # second table key extends the same meta file
+    assert pin_bucket_count(s, "n_fp_buckets", "fp_tokens", 2000, 256) == 32
+    assert set(load_registry_meta(s)) == {"n_sha_buckets", "n_fp_buckets"}
+
+    # production-sized first batch -> upper bound
+    s2 = str(tmp_path / "s2")
+    assert pin_bucket_count(s2, "n_sha_buckets", "sha_registry", 10**6, 256) == 256
+
+    # thunk form (the lazy count) + mid-range derivation: 2^ceil
+    s3 = str(tmp_path / "s3")
+    assert pin_bucket_count(s3, "n_sha_buckets", "sha_registry", lambda: 6000, 256) == 128
+
+    # legacy registry: table dir exists, no meta -> the old global is pinned
+    s4 = tmp_path / "s4"
+    (s4 / "sha_registry").mkdir(parents=True)
+    assert (
+        pin_bucket_count(str(s4), "n_sha_buckets", "sha_registry", 100, N_SHA_BUCKETS)
+        == N_SHA_BUCKETS
+    )
+
+    # explicit override wins on first pin
+    s5 = str(tmp_path / "s5")
+    assert (
+        pin_bucket_count(s5, "n_sha_buckets", "sha_registry", 100, 256, explicit=64)
+        == 64
+    )
+    assert MIN_REGISTRY_BUCKETS == 32
