@@ -72,10 +72,24 @@ def run_leg_with_steal(corpus, cores, workload):
     >50% of the leg's own cycles), which is what throttles @4 legs while
     leaving @1 legs untouched."""
     b0, s0 = _cpu_stat()
+    t0 = time.time()
     r = run_at(corpus, cores, workload, repeats=1)
+    wall = time.time() - t0
     b1, s1 = _cpu_stat()
     db, dst = b1 - b0, s1 - s0
     r["steal_frac"] = round(dst / (db + dst), 3) if (db + dst) > 0 else 0.0
+    # effective busy cores DURING the leg: Δbusy jiffies / wall / USER_HZ.
+    # The leg is this VM's only heavy workload, so this reads the host's
+    # actual concurrency grant over the leg itself — the instrument the
+    # before/after probes can't provide (run G pair 8: probe-clean,
+    # steal ≤10%, yet the @4 leg ran 3.7× the clean band; busy-cores
+    # distinguishes "granted 4 cores but starved of bandwidth" from
+    # "never granted the cores"). Wall includes JVM startup (~10 s at
+    # low CPU), so the figure slightly UNDERSTATES the grant during the
+    # timed section — fine for a mode detector, disclosed here.
+    hz = os.sysconf("SC_CLK_TCK")
+    r["busy_cores"] = round(db / wall / hz, 2) if wall > 0 else None
+    r["leg_wall_sec"] = round(wall, 1)
     return r
 
 
@@ -143,6 +157,8 @@ def main():
                 "efficiency_host_normalized": round(eff * cal_l["dilation"], 3),
                 "steal_small": r_s.get("steal_frac"),
                 "steal_large": r_l.get("steal_frac"),
+                "busy_cores_small": r_s.get("busy_cores"),
+                "busy_cores_large": r_l.get("busy_cores"),
                 "calib_small": cal_s,
                 "calib_large": cal_l,
                 "clean_host": is_clean,
@@ -153,6 +169,8 @@ def main():
             if args.clean_target and clean >= args.clean_target:
                 break
         ps = out["pairs"][workload]
+        if not ps:  # a workload run with 0 pairs has no summary
+            continue
         effs = [p["efficiency"] for p in ps]
         ceffs = [p["efficiency"] for p in ps if p["clean_host"]]
         neffs = [p["efficiency_host_normalized"] for p in ps]
