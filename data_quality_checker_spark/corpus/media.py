@@ -1,13 +1,16 @@
-"""Deterministic synthetic media corpus (image modality tier).
+"""Deterministic synthetic media corpus (image + video modality tiers).
 
 Mirrors corpus/generator.py's design for the clips table: fully seeded,
 sf-scaled, every defect class represented plus a clean majority. Images
-are uncompressed PPM/PGM/BMP payloads (corpus/image.py) so the numpy
-decode path is exercised for real; defects are the decode failures a
-crawler actually sees (truncated raster, unsupported bit depth /
-maxval, null payload) plus exact-duplicate payloads for the dedup tier.
-A few audio/video rows are mixed in so modality filtering is load-
-bearing, not decorative.
+are uncompressed PPM/PGM/BMP payloads (corpus/image.py) and videos are
+uncompressed Y4M/YUV4MPEG2 payloads (corpus/video.py) so the numpy
+decode paths are exercised for real; defects are the decode failures a
+crawler actually sees (truncated raster/frame, unsupported bit depth /
+maxval / chroma, null payload) plus exact-duplicate payloads for the
+dedup tier. A few audio rows are mixed in so modality filtering stays load-bearing,
+not decorative (the stub fallback for compressed video containers is
+covered by unit fixtures, never by this corpus — a driver-green row
+must mean two REAL decoders agreed, not that a fake was mirrored).
 """
 
 from __future__ import annotations
@@ -16,11 +19,13 @@ import numpy as np
 import pandas as pd
 
 from .image import encode_bmp, encode_pgm, encode_ppm
+from .video import encode_y4m
 
 MEDIA_PER_SF = 10_000
 SEED = 20_260_818
 # bump when generated content changes — cache paths embed it
-MEDIA_VERSION = 1
+# (v2: video rows became real Y4M, round 5)
+MEDIA_VERSION = 2
 
 # defect class → probability (clean = remainder)
 MEDIA_DEFECT_PROBS: dict[str, float] = {
@@ -29,9 +34,42 @@ MEDIA_DEFECT_PROBS: dict[str, float] = {
     "bad_maxval": 0.02,      # 16-bit PPM — unsupported by the 8-bit path
     "bad_bpp": 0.02,         # 8-bit palette BMP — unsupported variant
     "dup": 0.06,             # exact payload duplicate of an earlier image
-    "video": 0.03,           # other modalities (filtered out upstream)
+    "video": 0.06,           # real Y4M payloads (the video decode tier)
     "audio": 0.03,
 }
+
+
+def _video_frames(rng: np.random.Generator) -> np.ndarray:
+    """Small seeded luma clip (n, h, w): per-frame gradient drift +
+    uniform noise — frame-dependent lumas without compressible
+    structure."""
+    n = int(rng.integers(3, 12))
+    h = int(rng.integers(8, 24))
+    w = int(rng.integers(9, 25))  # odd widths exercise 4:2:0 ceil planes
+    gy = np.linspace(0, 200, h, dtype=np.float64)[:, None]
+    gx = np.linspace(0, 200, w, dtype=np.float64)[None, :]
+    drift = rng.uniform(0.2, 1.0, size=n)[:, None, None]
+    base = (gy + gx)[None, :, :] * drift / 2.0
+    noise = rng.integers(0, 56, size=(n, h, w))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def _video_payload(rng: np.random.Generator) -> bytes:
+    """One seeded video row: mostly clean Y4M (C420 family or mono at a
+    seeded frame rate), with the defect classes the decode contract must
+    refuse — truncated frame data and an unsupported chroma header."""
+    frames = _video_frames(rng)
+    fps = (int(rng.integers(10, 31)), 1)
+    sub = int(rng.integers(0, 8))
+    if sub == 0:  # truncated inside the last frame's data
+        full = encode_y4m(frames, fps=fps)
+        return full[: len(full) - int(rng.integers(8, frames[0].size))]
+    if sub == 1:  # real Y4M variant outside the decode contract
+        mono = encode_y4m(frames, fps=fps, chroma="mono")
+        return mono.replace(b" Cmono\n", b" C444\n", 1)
+    if sub <= 3:
+        return encode_y4m(frames, fps=fps, chroma="mono")
+    return encode_y4m(frames, fps=fps)
 
 
 def _image_array(rng: np.random.Generator) -> np.ndarray:
@@ -68,8 +106,8 @@ def generate_media(sf: float, seed: int = SEED) -> pd.DataFrame:
                          "audio/wav", {"sr_hz": "16000"}))
             continue
         if cls == "video":
-            rows.append((media_id, "video", b"\x00\x00\x00 ftypisom",
-                         "video/mp4", {"dur_ms": str(int(rng.integers(500, 8000)))}))
+            rows.append((media_id, "video", _video_payload(rng),
+                         "video/x-yuv4mpeg", {}))
             continue
         if cls == "null_bytes":
             rows.append((media_id, "image", None, "image/x-portable-pixmap", {}))
@@ -104,6 +142,19 @@ def generate_media(sf: float, seed: int = SEED) -> pd.DataFrame:
             "bmp": "image/bmp",
         }[fmt]
         rows.append((media_id, "image", payload, mime, {}))
+
+    # pinned video rows: every decode-contract class present at EVERY sf
+    # (the random mix alone could miss one at the 40-row floor)
+    vrng = np.random.default_rng(seed + 1)
+    clean_420 = encode_y4m(_video_frames(vrng), fps=(30, 1))
+    clean_mono = encode_y4m(_video_frames(vrng), fps=(24, 1), chroma="mono")
+    truncated = clean_420[: len(clean_420) - 16]
+    bad_chroma = clean_mono.replace(b" Cmono\n", b" C444\n", 1)
+    for tag, payload in (
+        ("v420", clean_420), ("vmono", clean_mono),
+        ("vtrunc", truncated), ("vchroma", bad_chroma),
+    ):
+        rows.append((f"m_{tag}", "video", payload, "video/x-yuv4mpeg", {}))
     return pd.DataFrame(
         rows, columns=["media_id", "modality", "bytes", "mime", "meta"]
     )

@@ -6,8 +6,11 @@ WAV/PCM with numpy; the audio_stats pandas UDF feeds the rule set).
 The image modality is real for UNCOMPRESSED formats: PPM/PGM/BMP decode
 with pure numpy (corpus/image.py — no codec library needed), verified
 against an independent byte-walking labeler (oracle/image_oracle.py,
-the audio tier's parity pattern). Compressed images (PNG/JPEG) and
-video decoding need codec libraries NOT in this container (PIL / av /
+the audio tier's parity pattern). The video modality is real for the
+UNCOMPRESSED Y4M/YUV4MPEG2 container: pure-numpy planar decode
+(corpus/video.py), verified against oracle/video_oracle.py the same
+way. Compressed images (PNG/JPEG) and compressed video need codec
+libraries NOT in this container (PIL / av /
 opencv) — per the build instructions those paths are gated behind a
 try-import with a clearly-marked deterministic fake, so the Spark-side
 plumbing (schema, Arrow batch shape, partitioning, iterator-of-batches
@@ -145,20 +148,49 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def frame_samples(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling: 1 input row → ``n_frames`` output rows
-    (media_id, frame_idx, frame_ms, frame_luma). Decode is STUBBED with a
-    deterministic payload-derived fake (a real deployment uses ``av``);
-    the fan-out shape, schema, and Arrow iteration are real.
+    """Video frame sampling: 1 input row → up to ``n_frames`` output rows
+    (media_id, frame_idx, frame_ms, frame_luma).
+
+    Decode policy, by payload magic (the image tier's policy, round 5):
+    * Y4M/YUV4MPEG2 → REAL pure-numpy decode (corpus/video.py): evenly
+      sampled source frames, presentation time from the header's F
+      rate, exact-integer luma means. Malformed/truncated/unsupported-
+      chroma payloads emit NO rows — a clip that can't decode can't be
+      sampled (resize_images' drop semantic); never a fake success.
+      Parity-tested vs the independent byte-walking labeler
+      (oracle/video_oracle.py).
+    * anything else (compressed containers; no ``av``/ffmpeg in this
+      container) → the clearly-marked deterministic payload-derived
+      stub, keeping the fan-out shape testable for every format.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..corpus.video import (
+            decode_y4m,
+            frame_luma,
+            frame_ms,
+            is_y4m,
+            sample_positions,
+        )
+
         for pdf in batches:
             out = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["bytes"], pdf["meta"]):
                 if payload is None:
                     continue
+                payload = bytes(payload)
+                if is_y4m(payload):
+                    try:
+                        frames, num, den = decode_y4m(payload)
+                    except ValueError:
+                        continue
+                    for i, src in enumerate(sample_positions(len(frames), n_frames)):
+                        out.append(
+                            (mid, i, frame_ms(src, num, den), frame_luma(frames[src]))
+                        )
+                    continue
                 dur_ms = float((meta or {}).get("dur_ms", 1000.0))
-                d = hashlib.sha1(bytes(payload)).digest()
+                d = hashlib.sha1(payload).digest()
                 for i in range(n_frames):
                     out.append(
                         (

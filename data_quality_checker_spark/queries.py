@@ -66,11 +66,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
              min(ts) AS first_ts, max(ts) AS last_ts,
              CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT)
-               AS span_days
+               AS span_days,
+             count(*) FILTER (WHERE event_type = 'click') AS n_type_click,
+             count(*) FILTER (WHERE event_type = 'error') AS n_type_error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_type_purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS n_type_signup,
+             count(*) FILTER (WHERE event_type = 'view') AS n_type_view
       FROM events
     )
     SELECT n_rows, null_user_id, null_value, null_props, n_bad_props,
            first_ts, last_ts, span_days,
+           n_type_click, n_type_error, n_type_purchase, n_type_signup, n_type_view,
            round(CAST(null_value AS DOUBLE) / n_rows * 100, 4) AS missing_pct,
            CASE WHEN CAST(null_value AS DOUBLE) / n_rows * 100 > 50 THEN 'high'
                 WHEN CAST(null_value AS DOUBLE) / n_rows * 100 > 20 THEN 'medium'
@@ -79,11 +85,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q_events_profile(spark, sf_dir):
-    """A1/P1 + A9 + A11/F1 + A22/F10 in ONE aggregate pass over events
+    """A1/P1 + A9 + A11/F1 + A21 + A22/F10 in ONE aggregate pass over events
     (registry curation, round 4 — formerly the separate null_counts /
     missing_threshold_severity / format_check_props / minmax_ts rows; the
     merged oracle preserves every column's hash-level evidence while
-    freeing driver-cap slots): per-column null counts (validator.py:84-99),
+    freeing driver-cap slots; round 5 absorbed A21's event-type
+    histogram — the generator's type vocabulary is fixed, so the five
+    per-type counts carry the exact same values the group-by emitted,
+    one per named column): per-column null counts (validator.py:84-99),
     missing-pct severity tiers (>50 high / >20 medium,
     validation_rules.py:66-85), format-regex violation count
     (validation_rules.py:121-158), and min/max timestamp + day-span date
@@ -102,11 +111,17 @@ def q_events_profile(spark, sf_dir):
         F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
         .cast("bigint")
         .alias("span_days"),
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_type_{t}")
+            for t in ("click", "error", "purchase", "signup", "view")
+        ],
     )
     pct = F.col("null_value").cast("double") / F.col("n_rows") * 100
     return m.select(
         "n_rows", "null_user_id", "null_value", "null_props", "n_bad_props",
         "first_ts", "last_ts", "span_days",
+        "n_type_click", "n_type_error", "n_type_purchase", "n_type_signup",
+        "n_type_view",
         F.round(pct, 4).alias("missing_pct"),
         F.when(pct > 50, "high").when(pct > 20, "medium").otherwise("low").alias("severity"),
     )
@@ -420,14 +435,11 @@ def q_groupby_source(spark, sf_dir):
     )
 
 
-@register(
-    "event_type_hist",
-    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
-)
-def q_event_type_hist(spark, sf_dir):
-    """A21 — histogram group-by (metrics.py:121-128 severity histogram)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+# A21 (severity-histogram shape): absorbed into events_profile as five
+# fixed-vocabulary per-type count columns (round-5 curation — frees one
+# driver-cap slot for multimodal_video_frames; the dynamic-key group-by
+# MECHANISM stays driver-verified via groupby_day / groupby_source /
+# clips_findings_summary).
 
 
 @register(
@@ -1969,6 +1981,52 @@ def q_multimodal_image_features(spark, sf_dir):
     return image_features(media)
 
 
+def ensure_video_fixtures(sf_dir: str) -> str:
+    """Write (once) the byte-walking video labeler's expected sampled
+    frames for the synthetic media corpus at this sf —
+    oracle/video_oracle.label_frame_samples, the video analog of
+    ensure_image_fixtures. tmp+rename publish."""
+    base, _sf = _sf_of(sf_dir)
+    path = f"/tmp/dqc_expected_vidframes_{_MV}_{base}{_TAG}.parquet"
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from .oracle.video_oracle import label_frame_samples
+
+    media = pd.read_parquet(_media_path(sf_dir))
+    out = label_frame_samples(media, n_frames=4)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    out.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "multimodal_video_frames",
+    f"""
+    SELECT media_id, frame_idx, frame_ms, frame_luma
+    FROM read_parquet('/tmp/dqc_expected_vidframes_{_MV}_sf0.01{_TAG}.parquet')
+    """,
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """Video frame sampling over the multimodal media table —
+    operators/multimodal.frame_samples: column-pruned payload scan →
+    iterator-of-batches mapInPandas → 1 video row fanned out to 4
+    (frame_idx, frame_ms, frame_luma) rows; Y4M/YUV4MPEG2 payloads
+    decode with the REAL pure-numpy codec (corpus/video.py — round 5
+    unstubs the video modality the way PPM/PGM/BMP unstubbed image),
+    malformed/truncated/unsupported-chroma payloads emit no rows, other
+    modalities are filtered before the payload ever moves. Oracle: the
+    independent byte-walking labeler's fixture (oracle/video_oracle.py
+    — ASCII header walk + exact-integer luma sums over raw plane bytes,
+    so the doubles are bit-identical)."""
+    from .operators.multimodal import frame_samples
+
+    media = spark.read.parquet(_media_path(sf_dir))
+    return frame_samples(media, n_frames=4)
+
+
 # Driver-cap discipline (round-4 curation, VERDICT r3 item 2): the
 # driver records verdicts for at most 50 registered queries, so the
 # registry is kept ≤50 — every registered query gets a FRESH verdict
@@ -1988,6 +2046,7 @@ def q_multimodal_image_features(spark, sf_dir):
 _FIRST = [
     "clips_decisions_labels",
     "multimodal_image_features",
+    "multimodal_video_frames",
     "clips_findings_summary",
     "ml_recommendations",
     "clips_rescored_decisions",
@@ -2036,6 +2095,7 @@ def _ensure_all_fixtures(sf_dir: str) -> None:
     ensure_audio_fixtures(sf_dir)
     ensure_rescore_fixture(sf_dir)
     ensure_image_fixtures(sf_dir)
+    ensure_video_fixtures(sf_dir)
     _clips_path(sf_dir)  # audio_chunks SQL reads it
 
 
