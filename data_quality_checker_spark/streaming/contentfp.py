@@ -45,6 +45,7 @@ candidates; audio bytes never leave stage 1.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -435,32 +436,59 @@ def process_content_increment(
             # files in EVERY bucket per tick — tick 2 then tripped
             # MAX_BUCKET_FILES on all 256 buckets of both tables at once
             # (the round-5 streaming fixed-cost regression)
-            ktoks.withColumn("tbkt", _tbkt("token", n_bkt)).repartition(
-                F.col("tbkt")
-            ).write.mode("append").partitionBy(
-                "tbkt"
-            ).parquet(_tokens_path(state_dir))
-            _t("ktoks_write")
-            # n_tok: the keeper's GLOBAL distinct-token count, stored so
-            # later batches can apply the adaptive candidate floor
-            # (least(MIN, n_tok_keeper, n_tok_probe)) over pruned bucket
-            # reads; left join keeps token-less keepers (never token-
-            # matchable, n_tok null → treated as ≥ MIN)
-            ktok_cnt = ktoks.groupBy("clip_id").agg(
-                F.count(F.lit(1)).alias("n_tok")
-            )
-            kfps.select("clip_id", "n_subfp", "fp").join(
-                ktok_cnt, "clip_id", "left"
-            ).withColumn(
-                "reg_batch", F.lit(batch_id)
-            ).withColumn("cbkt", _cbkt("clip_id", n_bkt)).repartition(
-                F.col("cbkt")
-            ).write.mode("append").partitionBy(
-                "cbkt"
-            ).parquet(
-                _store_path(state_dir)
-            )
-            _t("store_write")
+            def _write_tokens() -> None:
+                ktoks.withColumn("tbkt", _tbkt("token", n_bkt)).repartition(
+                    F.col("tbkt")
+                ).write.mode("append").partitionBy(
+                    "tbkt"
+                ).parquet(_tokens_path(state_dir))
+
+            def _write_store() -> None:
+                # n_tok: the keeper's GLOBAL distinct-token count, stored
+                # so later batches can apply the adaptive candidate floor
+                # (least(MIN, n_tok_keeper, n_tok_probe)) over pruned
+                # bucket reads; left join keeps token-less keepers (never
+                # token-matchable, n_tok null → treated as ≥ MIN)
+                ktok_cnt = ktoks.groupBy("clip_id").agg(
+                    F.count(F.lit(1)).alias("n_tok")
+                )
+                kfps.select("clip_id", "n_subfp", "fp").join(
+                    ktok_cnt, "clip_id", "left"
+                ).withColumn(
+                    "reg_batch", F.lit(batch_id)
+                ).withColumn("cbkt", _cbkt("clip_id", n_bkt)).repartition(
+                    F.col("cbkt")
+                ).write.mode("append").partitionBy(
+                    "cbkt"
+                ).parquet(
+                    _store_path(state_dir)
+                )
+
+            # The two appends target DIFFERENT tables and read only
+            # persisted/broadcast inputs, so submit them from two threads:
+            # each write's cost is dominated by the job-scheduling +
+            # parquet task-commit floor (~1-2.5 s at the pinned 32 dirs,
+            # measured), and overlapping them turns fixed-cost SUM into
+            # fixed-cost MAX per tick. Exceptions propagate.
+            _errs: list[BaseException] = []
+
+            def _guard(fn):
+                try:
+                    fn()
+                except BaseException as exc:  # noqa: BLE001 - re-raised
+                    _errs.append(exc)
+
+            threads = [
+                threading.Thread(target=_guard, args=(fn,), daemon=True)
+                for fn in (_write_tokens, _write_store)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if _errs:
+                raise _errs[0]
+            _t("ktoks+store_write")
             os.makedirs(os.path.dirname(_marker(state_dir, batch_id)), exist_ok=True)
             with open(_marker(state_dir, batch_id), "w"):
                 pass
