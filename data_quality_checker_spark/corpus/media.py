@@ -25,7 +25,7 @@ MEDIA_PER_SF = 10_000
 SEED = 20_260_818
 # bump when generated content changes — cache paths embed it
 # (v2: video rows became real Y4M, round 5)
-MEDIA_VERSION = 2
+MEDIA_VERSION = 3
 
 # defect class → probability (clean = remainder)
 MEDIA_DEFECT_PROBS: dict[str, float] = {
@@ -128,9 +128,10 @@ def generate_media(sf: float, seed: int = SEED) -> pd.DataFrame:
             payload = b"P6\n%d %d\n65535\n" % (w, h) + bytes(arr.astype(">u2").tobytes())
         elif cls == "bad_bpp":
             # flip the bpp field of a valid BMP to 8 (palette) — header
-            # parses, variant is unsupported → decode_ok = False
-            if fmt != "bmp":
-                payload = encode_bmp(arr if arr.ndim == 3 else arr)
+            # parses, variant is unsupported → decode_ok = False. The
+            # payload is a BMP regardless of the drawn fmt, so label it
+            # one (decode routes by magic; the mime must not lie).
+            fmt = "bmp"
             b = bytearray(encode_bmp(arr))
             b[28:30] = (8).to_bytes(2, "little")
             payload = bytes(b)

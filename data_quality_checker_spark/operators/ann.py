@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
 from .simdedup import cosine_expr
-from .text import portable_hash64
+from .text import portable_hash64, round6
 
 # Defaults chosen by measurement on the testdata embeddings (BENCH_r02):
 # 12 planes × 4 tables with Hamming≤1 multi-probe → recall 1.0 for
@@ -185,7 +185,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+            round6(cosine_expr(F.col("qv"), F.col("nv"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -203,7 +203,7 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     scored = cand.where(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        round6(cosine_expr(F.col("qv"), F.col("nv"))).alias("cosine"),
     )
     dedup = scored.groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

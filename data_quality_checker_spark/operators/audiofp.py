@@ -342,23 +342,59 @@ def fingerprint_tokens(
         "clip_id",
         F.explode(F.array_distinct(_token_expr(token_stride))).alias("token"),
     )
+    if max_token_df is None:
+        return toks
+    df_tbl = (
+        fps.where(F.col("n_subfp") >= TOKEN_LEN)
+        .select("fp")
+        .distinct()
+        .select(
+            F.explode(F.array_distinct(_token_expr(token_stride))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     if max_token_df == "auto":
-        max_token_df = derive_max_token_df(fps, token_stride)
-    if max_token_df is not None:
-        rare = (
-            fps.where(F.col("n_subfp") >= TOKEN_LEN)
-            .select("fp")
-            .distinct()
-            .select(
-                F.explode(F.array_distinct(_token_expr(token_stride))).alias("token")
+        # The cap is derived INSIDE the same plan (a broadcast one-row
+        # aggregate over df_tbl joined back as the filter bound) instead
+        # of an eager derive_max_token_df job: the df_tbl exchange is
+        # then REUSED between the agg and the filter branch, so the
+        # distinct-fp token stream is scanned once per query, not twice
+        # per call. Integer arithmetic matches derive_max_token_df /
+        # the eager labeler exactly: ceil-mean via `div` (no double
+        # division — exact past 2^53 postings), then MULT/clamp.
+        cap = (
+            df_tbl.agg(
+                F.sum("df").alias("n_post"), F.count(F.lit(1)).alias("n_tok")
             )
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_token_df)
+            .select(
+                F.when(  # empty corpus: ANSI div-by-zero guard (lazily
+                    F.col("n_tok") > 0,  # evaluated); FLOOR matches
+                    F.least(  # derive_max_token_df's empty case
+                        F.lit(AUTO_TOKEN_DF_CEILING).cast("long"),
+                        F.greatest(
+                            F.lit(AUTO_TOKEN_DF_FLOOR).cast("long"),
+                            F.lit(AUTO_TOKEN_DF_MULT)
+                            * F.expr("(n_post + n_tok - 1) div n_tok"),
+                        ),
+                    ),
+                )
+                .otherwise(F.lit(AUTO_TOKEN_DF_FLOOR).cast("long"))
+                .alias("_cap")
+            )
+        )
+        # 1-row broadcast join (plans as BroadcastNestedLoopJoin with
+        # the df<=_cap bound as its condition — LINEAR, build side is
+        # one row; the same allow-listed shape as the registry's 1-row
+        # scalar crossJoins). AQE reuses the df_tbl exchange between
+        # this branch and the cap aggregate at runtime.
+        rare = (
+            df_tbl.join(F.broadcast(cap), F.col("df") <= F.col("_cap"))
             .select("token")
         )
-        toks = toks.join(rare, "token")
-    return toks
+    else:
+        rare = df_tbl.where(F.col("df") <= max_token_df).select("token")
+    return toks.join(rare, "token")
 
 
 def fingerprint_candidate_pairs(

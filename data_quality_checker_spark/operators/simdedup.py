@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import portable_hash64, shingles, tokens_col
+from .text import portable_hash64, round6, shingles, tokens_col
 
 # MinHash parameters: h_i(x) = (A_i * H28(x) + B_i) mod P, where H28 is a
 # 28-bit md5-prefix hash and P = 2^31 - 1. All intermediates stay well
@@ -209,18 +209,19 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # Filter on the RAW ratio (integer counts → one IEEE division:
+    # bit-identical across engines) and round only for display via the
+    # engine-deterministic round6 — F.round vs DuckDB round diverge on
+    # representational ties over 2^a·5^b denominators (see text.round6).
+    raw_j = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     jac = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", raw_j.alias("_raw_j"))
     )
-    return jac.where(F.col("jaccard") >= threshold)
+    return jac.where(F.col("_raw_j") >= threshold).select(
+        "doc_a", "doc_b", round6(F.col("_raw_j")).alias("jaccard")
+    )
 
 
 def shingle_set_col(text_col: str, k: int, hashed: bool = False) -> Column:
@@ -259,6 +260,7 @@ def ngram_jaccard_for_pairs(
     id_col: str = "doc_id",
     hashed: bool = True,
     prune_below: float | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact k-char-shingle Jaccard restricted to the given candidate
     pairs (doc_a, doc_b) — the LSH→verify stage: → (doc_a, doc_b,
@@ -322,16 +324,22 @@ def ngram_jaccard_for_pairs(
             F.least(F.size("sa"), F.size("sb"))
             >= F.lit(prune_below) * F.greatest(F.size("sa"), F.size("sb"))
         )
-    return (
-        joined
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                n_inter / (F.size("sa") + F.size("sb") - n_inter), 6
-            ).alias("jaccard"),
-        )
+    # Same engine-determinism discipline as ngram_jaccard_pairs: the
+    # keep/drop decision is made on the RAW ratio (bit-identical across
+    # engines — integer sizes, one IEEE division), and round6 (not
+    # F.round, which diverges from DuckDB/numpy on representational
+    # ties) is display-only. Filtering raw also keeps the prune_below
+    # size bound exactly lossless: a pair with raw_j < t can round UP
+    # to t, so a rounded-value filter would need pairs the size prune
+    # correctly discards.
+    out = joined.select(
+        "doc_a",
+        "doc_b",
+        (n_inter / (F.size("sa") + F.size("sb") - n_inter)).alias("_raw_j"),
     )
+    if threshold is not None:
+        out = out.where(F.col("_raw_j") >= threshold)
+    return out.select("doc_a", "doc_b", round6(F.col("_raw_j")).alias("jaccard"))
 
 
 # Auto-route threshold for the collapsed (dedup-first) verify path: above
@@ -391,8 +399,13 @@ def minhash_verified_pairs(
     if materialize_candidates:
         cand = cand.persist()
         cand.count()
-    verified = ngram_jaccard_for_pairs(docs, cand, k, prune_below=threshold)
-    return verified.where(F.col("jaccard") >= threshold)
+    # threshold is applied to the RAW jaccard inside the verifier (the
+    # returned column is display-rounded; filtering it instead would
+    # re-admit raw<t pairs that round up to t — a class the lossless
+    # size prune has already discarded).
+    return ngram_jaccard_for_pairs(
+        docs, cand, k, prune_below=threshold, threshold=threshold
+    )
 
 
 def minhash_verified_pairs_collapsed(
@@ -580,7 +593,6 @@ def neardup_components(
     # lineage unreplayable). Works for any orderable id type (doc ids
     # here are longs, clip ids are strings).
     label_t = labels.schema["label"].dataType
-    prev = labels
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "v"), "v"
@@ -604,12 +616,13 @@ def neardup_components(
         changed = new.agg(
             F.count_if(F.col("label") != F.col("own_label")).alias("n")
         ).first()["n"]
-        # the previous round's cached labels fed `new` and nothing else
-        # references them — release per round instead of leaking one
-        # label frame per iteration into the block manager
-        if prev is not None:
-            prev.unpersist()
-        prev = new
+        # Block release: Dataset.unpersist only drops cacheManager
+        # entries and a localCheckpoint frame never has one, so there is
+        # no API to free the previous round's blocks eagerly — they are
+        # reclaimed by the ContextCleaner once the superseded frame is
+        # GC'd (dropping the only reference here makes that prompt).
+        # Bounded exposure: one 2-long/row label frame per in-flight
+        # round, and the loop converges in O(diameter) ≈ 2–3 rounds.
         labels = new.drop("own_label")
         if changed == 0:
             break
@@ -760,7 +773,7 @@ def embedding_neardup_pairs(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+                round6(cosine_expr(F.col("a.v"), F.col("b.v"))).alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
         )
@@ -795,7 +808,10 @@ def embedding_neardup_pairs(
         B = np.stack(right["v"].to_numpy())
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        C = np.round(An @ Bn.T, 6)
+        # np.round is HALF-EVEN — a third rounding semantics next to
+        # F.round (shortest-repr HALF_UP) and DuckDB round (binary
+        # half-away). The floor form is the same IEEE ops in all three.
+        C = np.floor(An @ Bn.T * 1e6 + 0.5) / 1e6
         ia, ib = np.nonzero(C >= thr)
         id_l = left["id"].to_numpy()[ia]
         id_r = right["id"].to_numpy()[ib]

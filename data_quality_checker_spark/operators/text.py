@@ -70,7 +70,10 @@ def round6(col):
     (``0.50468749999999997`` → ``0.504687``). Per-row ratios over
     ``2^a·5^b`` denominators hit such ties routinely at scale (first
     seen in the sf1 sweep). ``floor`` over the same IEEE product is
-    bit-identical in both engines. Non-negative inputs only.
+    bit-identical in both engines. For negative inputs the form rounds
+    ties toward +inf (half-UP, not half-away) — fine for cross-engine
+    determinism (identical everywhere, incl. numpy's otherwise
+    HALF-EVEN np.round), just not the usual signed-round convention.
     """
     return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 

@@ -966,7 +966,11 @@ def _verified_pairs_ctes() -> str:
       FROM csh GROUP BY doc_id
     ),
     vp AS (
-      SELECT doc_a, doc_b, round(raw_j, 6) AS jaccard FROM (
+      -- raw_j >= t decides membership (bit-identical across engines:
+      -- integer counts, one IEEE division); floor(x*1e6+0.5)/1e6 is the
+      -- engine-deterministic display rounding (round() diverges from
+      -- Spark on representational ties — see operators/text.round6)
+      SELECT doc_a, doc_b, floor(raw_j * 1000000.0 + 0.5) / 1000000.0 AS jaccard FROM (
         SELECT c.doc_a, c.doc_b,
                CAST(len(list_intersect(la.sh, lb.sh)) AS DOUBLE)
                / (la.n_sh + lb.n_sh - len(list_intersect(la.sh, lb.sh))) AS raw_j
@@ -1067,13 +1071,13 @@ def q_simhash_neardup_pairs(spark, sf_dir):
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cosine
+           floor(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                6) >= 0.35
+    WHERE floor(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                * 1000000.0 + 0.5) / 1000000.0 >= 0.35
     """,
 )
 def q_embed_neardup(spark, sf_dir):
@@ -1098,9 +1102,9 @@ def q_embed_neardup(spark, sf_dir):
     ), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
       SELECT query_id, e.vec_id AS neighbor_id,
-             round(list_dot_product(qv, v)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
-                   6) AS cosine
+             floor(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS cosine
       FROM e, q WHERE e.vec_id <> query_id
     )
     SELECT query_id, neighbor_id, rank, cosine FROM (
@@ -2117,8 +2121,12 @@ def oracles_for(sf_dir: str) -> dict[str, str]:
     if base == FIXTURE_SF_BASE:
         return oracles()
     _ensure_all_fixtures(sf_dir)
+    # Rewrite ONLY the fixture-backed oracles (the explicit pin) — a
+    # blind replace over every SQL would corrupt any future non-fixture
+    # oracle that legitimately contains the substring.
+    pinned = fixture_oracles()
     return {
-        n: sql.replace(f"_{FIXTURE_SF_BASE}", f"_{base}")
+        n: sql.replace(f"_{FIXTURE_SF_BASE}", f"_{base}") if n in pinned else sql
         for n, sql in (
             (n, _ORACLES[n]) for n in _ordered_names() if n in _ORACLES
         )

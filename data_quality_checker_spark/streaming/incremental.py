@@ -231,8 +231,14 @@ def compact_table_buckets(
     # bloat would survive every rewrite and grow per crash-replay.
     tmproot = os.path.join(state_dir, f".{tag}_compact_tmp_batch")
     shutil.rmtree(tmproot, ignore_errors=True)
+    # mergeSchema: a registry can mix file schemas (pre-v5 files lack
+    # n_tok/reg_batch); the default single-file schema sample would
+    # silently strip those columns from every flagged bucket in one
+    # rewrite, changing keeper precedence (reg_batch) and the v5 floor
+    # (n_tok) on the next probe. The old per-bucket loop at least
+    # confined that to mixed buckets — the batched read must merge.
     (
-        spark.read.parquet(reg_root)
+        spark.read.option("mergeSchema", "true").parquet(reg_root)
         .where(F.col(part).isin(*flagged))
         .distinct()
         .repartition(F.col(part))
@@ -422,6 +428,16 @@ def process_and_write(
     tick."""
     for sess in {spark, batch_df.sparkSession}:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # single writer shared by both paths (the content path must write
+    # BEFORE its finally releases the frames the plan depends on, so a
+    # tail-only write can't serve it — a helper keeps the layout/mode
+    # from diverging between the two call sites)
+    def _write(d: DataFrame) -> None:
+        d.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(output_dir)
+
     flags = None
     if not content_dedup:
         decisions = process_increment(
@@ -474,18 +490,14 @@ def process_and_write(
                 .withColumn("keep", F.col("keep") & ~dup)
                 .drop("is_content_dup")
             )
-            decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).partitionBy("batch_id").parquet(output_dir)
+            _write(decisions)
         finally:
             stats.unpersist()
             hashed.unpersist()
             if flags is not None:
                 flags.unpersist()
         return
-    decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).partitionBy("batch_id").parquet(output_dir)
+    _write(decisions)
 
 
 def stream_quality_filter(

@@ -506,7 +506,17 @@ def test_neardup_pairs_plan_equijoin_only(clips_df):
     df = FP.fingerprint_neardup_pairs(clips_df, fps=fps)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # BroadcastNestedLoopJoin is forbidden as a quadratic-join smell,
+    # with ONE named exception: the auto hub-cap's 1-row broadcast
+    # scalar join (condition references _cap — linear, build side is a
+    # single aggregate row; same allow-listed shape as the registry's
+    # 1-row scalar crossJoins in test_plan_audit).
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "_cap#" in m.group(0), (
+            "non-allow-listed BroadcastNestedLoopJoin:\n" + m.group(0)
+        )
     # the token-count prune (VERDICT r3 item 4) must sit BETWEEN the
     # token equi-join and the fingerprint-array verify join: a partial
     # (map-side) count aggregate feeding a filter on n_shared, so noise
