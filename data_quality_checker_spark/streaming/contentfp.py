@@ -55,7 +55,6 @@ from ..operators.audiofp import (
     TOKEN_LEN,
     _token_expr,
     audio_fingerprints,
-    derive_max_token_df,
     fingerprint_candidate_pairs,
     fingerprint_tokens,
     payload_reps,
@@ -215,10 +214,12 @@ def process_content_increment(
             F.col("fp").isNotNull() & (F.col("n_subfp") >= TOKEN_LEN)
         )
     try:
-        # resolve the "auto" cap once so the probe, the within-batch
-        # pairing, and the registration all drop the same stop-tokens
-        if max_token_df == "auto":
-            max_token_df = derive_max_token_df(fps, token_stride)
+        # The probe, the within-batch pairing, and the registration all
+        # consume THIS persisted frame, so they drop the same stop-tokens
+        # by construction — "auto" passes straight through to
+        # fingerprint_tokens, which derives the cap INSIDE the toks plan
+        # (1-row broadcast scalar join, exchange-reused): one fewer eager
+        # job per tick than the old pre-resolved derive_max_token_df.
         toks = fingerprint_tokens(fps, token_stride, max_token_df).persist()
         owned.append(toks)
 

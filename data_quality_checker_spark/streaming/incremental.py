@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,8 +138,28 @@ def pin_bucket_count(
     500-clip sandbox tick gets 32 dirs per append while a 10^6-clip
     production tick gets the full ``upper`` fan-out.
 
-    Single-writer (the stream checkpoint enforces one owner per
-    state_dir), so plain read-modify-write + atomic rename suffices."""
+    Single-writer ACROSS PROCESSES (the stream checkpoint enforces one
+    owner per state_dir), but the sha and content ticks pin DIFFERENT
+    keys into the same meta file and may run on two threads of one tick
+    (process_and_write) — the module lock makes the read-modify-write
+    atomic within the process so neither thread's key is lost."""
+    with _META_LOCK:
+        return _pin_bucket_count_locked(
+            state_dir, key, table, batch_rows, upper, explicit
+        )
+
+
+_META_LOCK = threading.Lock()
+
+
+def _pin_bucket_count_locked(
+    state_dir: str,
+    key: str,
+    table: str,
+    batch_rows,
+    upper: int,
+    explicit: int | None = None,
+) -> int:
     meta = load_registry_meta(state_dir)
     if key in meta:
         return int(meta[key])
@@ -455,23 +476,57 @@ def process_and_write(
         ).persist()
         stats.count()
         try:
-            decisions = process_increment(
-                spark,
-                batch_df,
-                state_dir,
-                batch_id,
-                cfg,
-                dur_bounds,
-                hashed=hashed,
-                stats=stats,
-            )
-            keys = payload_reps(batch_df, hashed=hashed)
-            fps = stats.select(
-                F.col("rep_id").alias("clip_id"), "n_subfp", "fp"
-            )
-            flags = process_content_increment(
-                spark, batch_df, state_dir, batch_id, keys=keys, fps=fps
-            )
+            # The sha tick and the content tick touch DISJOINT registry
+            # tables (sha_registry vs fp_tokens/fp_store), share only the
+            # persisted hashed/stats frames, and are each dominated by
+            # driver-paced fixed cost (probe collects, appends,
+            # compaction checks) — submitting them from two threads
+            # overlaps those job floors, turning the per-tick fixed cost
+            # from SUM into ~MAX (same discipline as the threaded dual
+            # registry append inside the content tick). The shared
+            # registry_meta.json pin is lock-protected (pin_bucket_count).
+            results: dict[str, DataFrame] = {}
+            _errs: list[BaseException] = []
+
+            def _sha_tick() -> None:
+                results["decisions"] = process_increment(
+                    spark,
+                    batch_df,
+                    state_dir,
+                    batch_id,
+                    cfg,
+                    dur_bounds,
+                    hashed=hashed,
+                    stats=stats,
+                )
+
+            def _content_tick() -> None:
+                keys = payload_reps(batch_df, hashed=hashed)
+                fps = stats.select(
+                    F.col("rep_id").alias("clip_id"), "n_subfp", "fp"
+                )
+                results["flags"] = process_content_increment(
+                    spark, batch_df, state_dir, batch_id, keys=keys, fps=fps
+                )
+
+            def _guard(fn):
+                try:
+                    fn()
+                except BaseException as exc:  # noqa: BLE001 - re-raised
+                    _errs.append(exc)
+
+            threads = [
+                threading.Thread(target=_guard, args=(fn,), daemon=True)
+                for fn in (_sha_tick, _content_tick)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if _errs:
+                raise _errs[0]
+            decisions = results["decisions"]
+            flags = results["flags"]
             dup = F.coalesce(F.col("is_content_dup"), F.lit(False))
             decisions = (
                 decisions.join(
