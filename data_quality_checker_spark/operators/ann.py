@@ -298,21 +298,15 @@ def lsh_topk(
 # IVF (inverted-file) index
 # ---------------------------------------------------------------------------
 
-def fit_ivf_centroids(
-    emb: DataFrame,
-    n_centroids: int = IVF_CENTROIDS,
-    sample_n: int = IVF_SAMPLE,
-    iters: int = 15,
-    seed: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _driver_sample(
+    emb: DataFrame, sample_n: int, id_col: str, vec_col: str
 ) -> np.ndarray:
-    """Train unit-norm centroids with seeded spherical k-means on a
-    bounded deterministic sample (ordered by the portable hash of the id
-    — stable across runs/engines, diverse across the keyspace). Only the
-    sample (≤ sample_n rows) ever reaches the driver; at any corpus
-    scale this is a TakeOrdered over a column-pruned scan. Faiss trains
-    IVF centroids on a capped sample the same way."""
+    """Bounded deterministic unit-norm training sample (ordered by the
+    portable hash of the id — stable across runs/engines, diverse
+    across the keyspace). Only ≤ sample_n rows ever reach the driver;
+    at any corpus scale this is a TakeOrdered over a column-pruned
+    scan. Faiss trains its coarse/PQ quantizers on a capped sample the
+    same way."""
     rows = (
         emb.select(F.col(id_col).cast("string").alias("i"), _as_double(vec_col).alias("v"))
         .orderBy(portable_hash64(F.col("i")))
@@ -321,15 +315,46 @@ def fit_ivf_centroids(
     )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def _bincount_means(
+    assign: np.ndarray, pts: np.ndarray, k: int, out: np.ndarray
+) -> None:
+    """Cluster means via per-dim weighted bincount (no per-cluster
+    boolean-mask passes); clusters with no members keep ``out``'s
+    previous centroid."""
+    counts = np.bincount(assign, minlength=k).astype(np.float64)
+    sums = np.empty((k, pts.shape[1]), dtype=np.float64)
+    for d in range(pts.shape[1]):
+        sums[:, d] = np.bincount(assign, weights=pts[:, d], minlength=k)
+    nz = counts > 0
+    out[nz] = sums[nz] / counts[nz, None]
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    sample_n: int = IVF_SAMPLE,
+    iters: int = 15,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: np.ndarray | None = None,
+) -> np.ndarray:
+    """Train unit-norm centroids with seeded spherical k-means on the
+    bounded deterministic driver sample (see _driver_sample; pass
+    ``sample`` to reuse one already collected — build_ivfpq_index
+    shares a single collect between both quantizer fits)."""
+    x = sample if sample is not None else _driver_sample(
+        emb, sample_n, id_col, vec_col
+    )
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)].copy()
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)
-        for j in range(len(c)):
-            members = x[assign == j]
-            if len(members):
-                c[j] = members.mean(axis=0)
-                c[j] /= max(np.linalg.norm(c[j]), 1e-12)
+        _bincount_means(assign, x, len(c), c)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     return c
 
 
@@ -532,18 +557,15 @@ def fit_pq_codebooks(
     seed: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train per-subspace residual codebooks → (pq_m, ks', dim/pq_m)
     array (ks' = min(ks, sample rows)); same bounded deterministic
-    driver sample discipline as fit_ivf_centroids."""
-    rows = (
-        emb.select(F.col(id_col).cast("string").alias("i"), _as_double(vec_col).alias("v"))
-        .orderBy(portable_hash64(F.col("i")))
-        .limit(sample_n)
-        .collect()
+    driver sample discipline as fit_ivf_centroids (``sample`` reuses an
+    already-collected one)."""
+    x = sample if sample is not None else _driver_sample(
+        emb, sample_n, id_col, vec_col
     )
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]
     if dim % pq_m:
         raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
@@ -556,12 +578,14 @@ def fit_pq_codebooks(
         sub = resid[:, j * dsub : (j + 1) * dsub]
         c = sub[rng.choice(len(sub), ks_eff, replace=False)].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for t in range(ks_eff):
-                members = sub[assign == t]
-                if len(members):
-                    c[t] = members.mean(axis=0)
+            # argmin ||s-c||² == argmin (||c||² - 2 s·c): the ||s||² term
+            # is constant per row, so one GEMM replaces the
+            # sample×ks×dsub broadcast tensor (the fit was ~5 s of pure
+            # memory traffic at pq_m=16; deterministic either way)
+            assign = np.argmin(
+                (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T), axis=1
+            )
+            _bincount_means(assign, sub, ks_eff, c)
         books[j] = c
     return books
 
@@ -630,9 +654,14 @@ def build_ivfpq_index(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    centroids = fit_ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    # one driver-sample collect feeds BOTH quantizer fits (the two
+    # samples were identical by construction — same hash order, same cap)
+    x = _driver_sample(emb, IVF_SAMPLE, id_col, vec_col)
+    centroids = fit_ivf_centroids(
+        emb, n_centroids, id_col=id_col, vec_col=vec_col, sample=x
+    )
     codebooks = fit_pq_codebooks(
-        emb, centroids, pq_m=pq_m, ks=ks, id_col=id_col, vec_col=vec_col
+        emb, centroids, pq_m=pq_m, ks=ks, id_col=id_col, vec_col=vec_col, sample=x
     )
     enc = _pq_encode_udf(centroids, codebooks)
     (
