@@ -411,3 +411,36 @@ def test_bucket_count_pinning(tmp_path):
         == 64
     )
     assert MIN_REGISTRY_BUCKETS == 32
+
+
+def test_bucket_count_pinning_cross_thread(tmp_path):
+    """The threaded tick pins the SHA key and the fp keys from two
+    threads into ONE meta file on a fresh registry's first batch; the
+    module lock makes the read-modify-write atomic so no key is lost
+    (without it, one thread's meta.json write clobbers the other's)."""
+    import threading
+
+    from data_quality_checker_spark.streaming.incremental import (
+        load_registry_meta,
+        pin_bucket_count,
+    )
+
+    for trial in range(20):
+        s = str(tmp_path / f"s{trial}")
+        barrier = threading.Barrier(2)
+
+        def _pin(key: str) -> None:
+            barrier.wait()
+            pin_bucket_count(s, key, key + "_tbl", 500, 256)
+
+        threads = [
+            threading.Thread(target=_pin, args=(k,))
+            for k in ("n_sha_buckets", "n_fp_buckets")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert set(load_registry_meta(s)) == {"n_sha_buckets", "n_fp_buckets"}, (
+            f"lost a pin on trial {trial}"
+        )

@@ -468,3 +468,39 @@ def test_ivfpq_refine_without_arrow(spark, tmp_path):
         spark.conf.set(key, prev)
     assert {r["query_id"] for r in rows} == {0, 1, 2}
     assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
+def test_pq_fit_matches_naive_reference():
+    """The GEMM/bincount k-means in fit_pq_codebooks and
+    fit_ivf_centroids must reproduce the naive per-cluster masked-mean
+    loop it replaced (the argmin drops the constant ||s||^2 term; means
+    are sums/counts) — bit-identical codebooks on this geometry, so the
+    recorded recall figures carry over to the optimized fit."""
+    import numpy as np
+
+    from data_quality_checker_spark.operators import ann
+
+    rng0 = np.random.default_rng(0)
+    x = rng0.standard_normal((512, 32))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    cent = ann.fit_ivf_centroids(None, n_centroids=16, sample=x)
+    books = ann.fit_pq_codebooks(None, cent, pq_m=8, ks=32, sample=x)
+    assert books.shape == (8, 32, 4)
+
+    # naive reference (the pre-optimization inner loop, verbatim shape)
+    resid = x - cent[np.argmax(x @ cent.T, axis=1)]
+    rng = np.random.default_rng(2)
+    ref = np.empty((8, 32, 4))
+    for j in range(8):
+        sub = resid[:, j * 4 : (j + 1) * 4]
+        c = sub[rng.choice(len(sub), 32, replace=False)].copy()
+        for _ in range(15):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for t in range(32):
+                members = sub[assign == t]
+                if len(members):
+                    c[t] = members.mean(axis=0)
+        ref[j] = c
+    assert float(np.abs(books - ref).max()) == 0.0
