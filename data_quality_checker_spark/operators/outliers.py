@@ -106,10 +106,40 @@ def exact_quantiles_scalable(
                     ).collect()
                 )
                 break
+            sub = nn.where((F.col("_x") >= F.lit(lo)) & (F.col("_x") <= F.lit(hi)))
+            # fat bracket, few DISTINCT values (a tie-heavy column — e.g.
+            # a discount with 11 legal values puts >10^5 rows between two
+            # adjacent values, and no value-range narrowing can ever
+            # shrink it): resolve the order statistics from bounded
+            # (value, count) pairs instead of raw rows. limit() applies
+            # to the COMPLETE aggregate, so a result under the cap holds
+            # every group; map-side combine keeps the shuffle at
+            # distinct-value cardinality.
+            groups = (
+                sub.groupBy("_x")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .limit(max_collect + 1)
+                .collect()
+            )
+            if len(groups) <= max_collect:
+                pairs = sorted((float(g["_x"]), int(g["cnt"])) for g in groups)
+                v0 = v1 = None
+                cum = below
+                for val, cnt in pairs:
+                    if v0 is None and k0 < cum + cnt:
+                        v0 = val
+                    if k1 < cum + cnt:
+                        v1 = val
+                        break
+                    cum += cnt
+                # vals[k0-below]=v0 and vals[k1-below]∈{v0,v1} under the
+                # existing tail indexing once below is pinned to k0
+                vals = [v0, v1]
+                below = k0
+                break
             # re-bracket WITHIN the fat bracket at escalated accuracy —
             # reusing the original (possibly coarse) accuracy would only
             # shrink the candidate set by a constant factor per round
-            sub = nn.where((F.col("_x") >= F.lit(lo)) & (F.col("_x") <= F.lit(hi)))
             sub_acc = max(accuracy, 10_000)
             q_lo = (k0 - below) / m
             q_hi = (k1 - below) / m

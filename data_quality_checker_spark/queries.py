@@ -1333,8 +1333,10 @@ _SUMMARY_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 )
 def q_summary_stats_lineitem(spark, sf_dir):
     """A16 — the describe()/df.summary() analog (reporting.py:35), exact
-    linear-interpolation percentiles, long format, ONE aggregate pass for
-    all columns — operators/metrics.summary_stats."""
+    linear-interpolation percentiles, long format — operators/metrics.
+    summary_stats (scalable path: one cheap moment aggregate + bracket
+    -and-count exact quantiles per column, never a whole-column
+    aggregation buffer)."""
     from .operators.metrics import summary_stats
 
     return summary_stats(_t(spark, sf_dir, "lineitem"), _SUMMARY_COLS)

@@ -175,3 +175,54 @@ def test_advisor_topshare_is_one_job(spark):
     # invariant that matters: the job count is CONSTANT in column count
     # (a per-column scan loop grows it linearly)
     assert jobs_for(2, "advisor-audit-2") == jobs_for(6, "advisor-audit-6")
+
+
+def test_exact_quantiles_tie_straddle_bracket(spark):
+    """The sf1 l_discount shape: a column with a handful of legal values
+    whose tie runs dwarf max_collect, and a target rank near a run
+    boundary so the bracket keeps spanning TWO values — value-range
+    narrowing can never shrink it, and pre-fix the selection raised
+    after max_rounds. The (value, count) resolution must return
+    percentile()'s answer bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.operators.outliers import exact_quantiles_scalable
+
+    # 11 legal values 0.00..0.10; first/last runs halved (the TPC-H-ish
+    # discount shape). n=6000 puts k0=1499/k1=1500 EXACTLY astride the
+    # 0.02|0.03 run boundary, so every sketch bracket spans two tie runs
+    # (q_lo→0.4992, q_hi→0.5 inside the bracket — the sub-sketch can
+    # never converge to lo==hi) and the interpolation needs v0≠v1
+    vals = []
+    for i in range(11):
+        cnt = 300 if i in (0, 10) else 600
+        vals += [round(i * 0.01, 2)] * cnt
+    assert len(vals) == 6000  # k0=1499/k1=1500 astride the 0.02|0.03 edge
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = [0.25, 0.5, 0.75]
+    expected = df.agg(
+        F.expr(f"percentile(x, array({', '.join(map(str, qs))}))")
+    ).first()[0]
+    got = exact_quantiles_scalable(df, "x", qs, max_collect=50)
+    assert got == pytest.approx(expected, rel=0, abs=0.0), (got, expected)
+
+
+def test_summary_stats_scalable_equals_legacy(spark):
+    """summary_stats' default scalable path (cheap moments + bracketed
+    exact quantiles) must reproduce the single-buffer percentile path
+    exactly, including all-null and constant columns."""
+    import pandas as pd
+
+    from data_quality_checker_spark.operators.metrics import summary_stats
+
+    pdf = pd.DataFrame(
+        {
+            "a": [float(v) for v in range(100)],
+            "b": [0.5] * 100,
+            "c": [None] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"c": "float64"}))
+    new = summary_stats(df, ["a", "b", "c"]).orderBy("column").toPandas()
+    old = summary_stats(df, ["a", "b", "c"], scalable=False).orderBy("column").toPandas()
+    pd.testing.assert_frame_equal(new[sorted(new.columns)], old[sorted(old.columns)])
