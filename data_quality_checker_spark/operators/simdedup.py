@@ -676,8 +676,21 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, n_bits: int = 3
     """→ (doc_a, doc_b, hamming ≤ max_hamming) via 4-block prefix bucketing
     (pigeonhole: any pair within Hamming 3 of a 32-bit hash agrees on at
     least one of 4 disjoint 8-bit blocks → join per block, then verify).
+
+    Scale note: bucket population is n / 2^block_bits and the join is
+    bucket-quadratic — at corpus scale pass ``n_bits=64`` (16-bit
+    blocks, 65k buckets) so the candidate fan-out stays linear-ish; the
+    32-bit default matches the small-sf oracle fixtures.
     """
     s = simhash(docs, n_bits)
+    # the block self-join reads this frame on BOTH sides; without a
+    # materialization barrier each side re-runs the whole
+    # token-explode→bit-sum simhash DAG (measured 2× the fingerprint
+    # cost at 50k docs). (doc_id, simhash) is two longs per doc —
+    # persist + eager fill, LRU-evictable, same discipline as
+    # minhash_verified_pairs' candidate list
+    s = s.persist()
+    s.count()
     block_bits = n_bits // 4
     mask = (1 << block_bits) - 1
     blocks = []
@@ -700,9 +713,15 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, n_bits: int = 3
             F.col("r.doc_id").alias("doc_b"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
+        # filter BEFORE distinct: a pair agreeing on k blocks is emitted
+        # k times, so the dedup shuffle must only carry the pairs that
+        # SURVIVE the hamming cut (≈ the true near-dup count), not the
+        # full candidate fan-out (bucket-quadratic: ~20M rows at 50k
+        # docs with 8-bit blocks — measured 17 s of the 21 s total)
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.where(F.col("hamming") <= max_hamming)
+    return cand
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
