@@ -4,6 +4,12 @@ same sf, compare row count, column names, and an order-insensitive value
 multiset (columns sorted by name).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+                                         [--skip q1,q2]
+
+``--skip`` excludes named queries (used by the sf10 sweep to leave out
+the one quadratic-BY-DESIGN verification tier whose DuckDB oracle is an
+all-pairs join — see BENCH/BASELINE.md's 100x section for the rationale
+and the tiers that cover the same semantics at that scale).
 """
 
 from __future__ import annotations
@@ -56,8 +62,14 @@ def rows_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    skip: set[str] = set()
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from data_quality_checker_spark.session import get_spark
@@ -82,7 +94,7 @@ def main():
     oracles = qreg.oracles_for(sf_dir)
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
