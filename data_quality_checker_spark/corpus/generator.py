@@ -215,6 +215,23 @@ def write_clips_parquet(path: str, sf: float, cfg: PipelineConfig = DEFAULT_CONF
     import os
 
     tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table.cast(schema), tmp)
+    pq.write_table(table.cast(schema), tmp, row_group_size=_payload_row_group_rows(table))
     os.replace(tmp, path)
     return df
+
+
+def _payload_row_group_rows(table, target_bytes: int = 96 * 2**20) -> int:
+    """Rows per parquet row group for a binary-payload table, sized so a
+    group holds ~``target_bytes``. pyarrow's default row-group bound is
+    ROW-count-based (1Mi rows), so a payload table under 1M rows lands in
+    ONE row group — at sf10 that is a single 12 GB group, and parquet
+    readers parallelize across row groups: one Spark task then scans the
+    whole file (and buffers its column-chunk pages — measured Java-heap
+    OOM at an 8g heap). ~96 MB groups match the scan split size, so a
+    128 MB split owns ~1 group and the scan parallelizes fully — the
+    same row-group discipline any 100 TB ingest writer must apply."""
+    n = table.num_rows
+    if n == 0:
+        return 1
+    avg = max(table.nbytes // n, 1)
+    return max(64, min(n, int(target_bytes // avg)))
