@@ -280,10 +280,29 @@ def label_audio_fingerprints(clips: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def fingerprint_map(clips: pd.DataFrame) -> dict[str, list[int]]:
+    """(clip_id → non-empty sub-fingerprint list) for decodable clips —
+    the shared decode+FFT pass of the pair/content labelers. Exposed so
+    a fixture build can decode the corpus ONCE and feed every consumer
+    (at 200k clips the three independent decode loops were ~3x the whole
+    fixture-build cost)."""
+    fps: dict[str, list[int]] = {}
+    for r in clips.itertuples():
+        decoded = _decoded_or_none(r)
+        if decoded is None:
+            continue
+        x, sr = decoded
+        subfps = _subfps_for_clip(_resample_to_fp_sr(x, sr))
+        if subfps:
+            fps[r.clip_id] = subfps
+    return fps
+
+
 def label_fingerprint_pairs(
     clips: pd.DataFrame,
     max_ber: float = 0.25,
     max_token_df: int | str | None = "auto",
+    fps: dict[str, list[int]] | None = None,
 ) -> pd.DataFrame:
     """Expected (clip_a, clip_b, n_overlap, ber): shared-token candidate
     pairs (≥ least(MIN_SHARED_TOKENS, tokens(a), tokens(b)) distinct
@@ -295,16 +314,11 @@ def label_fingerprint_pairs(
     counts for the floor are taken over the SURVIVING tokens) verified
     by bit-error-rate over the aligned common prefix — dict-of-token
     index + python popcount loops (the operator uses a Spark equi-join
-    + count prune + codegen bit_count)."""
-    fps: dict[str, list[int]] = {}
-    for r in clips.itertuples():
-        decoded = _decoded_or_none(r)
-        if decoded is None:
-            continue
-        x, sr = decoded
-        subfps = _subfps_for_clip(_resample_to_fp_sr(x, sr))
-        if subfps:
-            fps[r.clip_id] = subfps
+    + count prune + codegen bit_count). ``fps`` — a precomputed
+    ``fingerprint_map`` to share the decode pass; when omitted it is
+    computed here (identical semantics)."""
+    if fps is None:
+        fps = fingerprint_map(clips)
 
     def tokens_of(subfps: list[int]) -> set[int]:
         out: set[int] = set()
@@ -372,7 +386,9 @@ def label_fingerprint_pairs(
 
 
 def label_content_decisions(
-    clips: pd.DataFrame, max_ber: float = 0.1
+    clips: pd.DataFrame,
+    max_ber: float = 0.1,
+    pairs: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Expected (clip_id, keep, rules_fired) AFTER the content-dedup
     post-pass (operators/audiofp.content_dedup_decisions): the eager
@@ -385,11 +401,15 @@ def label_content_decisions(
     The union keeps the MIN id as each root (merging two trees whose
     roots are their minima yields the min of both), so find(x) == the
     component's min clip_id — the same keeper convention as the Spark
-    side's min-label propagation (simdedup.neardup_components)."""
+    side's min-label propagation (simdedup.neardup_components).
+    ``pairs`` — a precomputed ``label_fingerprint_pairs(..., max_ber=
+    max_ber)`` frame to share the decode pass; when omitted it is
+    computed here (identical semantics)."""
     from .pandas_oracle import label_clips
 
     labels = label_clips(clips)
-    pairs = label_fingerprint_pairs(clips, max_ber=max_ber)
+    if pairs is None:
+        pairs = label_fingerprint_pairs(clips, max_ber=max_ber)
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:

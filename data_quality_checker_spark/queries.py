@@ -1655,13 +1655,24 @@ def ensure_audio_fixtures(sf_dir: str) -> dict[str, str]:
     from .oracle import audio_oracle
 
     clips = generate_clips(sf).drop(columns=["defect"])
+    # decode+FFT ONCE (audio_oracle.fingerprint_map) and share it: the
+    # pair fixture and the content fixture each re-derived the full
+    # fingerprint map before, tripling the dominant fixture-build cost
+    # (~8 min per decode pass at the 200k-clip sf10 sweep). max_ber is
+    # only the final filter of label_fingerprint_pairs, so the content
+    # tier's 0.1 frame is exactly the 0.25 frame filtered.
+    fps_map = audio_oracle.fingerprint_map(clips)
+    fp_pairs = audio_oracle.label_fingerprint_pairs(clips, fps=fps_map)
+    content_pairs = fp_pairs[fp_pairs.ber <= 0.1].reset_index(drop=True)
     outs = {
         "features": audio_oracle.label_audio_features(clips),
         "segments": audio_oracle.label_vad_segments(clips),
         "resample": audio_oracle.label_resample_stats(clips),
         "fingerprints": audio_oracle.label_audio_fingerprints(clips),
-        "fp_pairs": audio_oracle.label_fingerprint_pairs(clips),
-        "content_labels": audio_oracle.label_content_decisions(clips),
+        "fp_pairs": fp_pairs,
+        "content_labels": audio_oracle.label_content_decisions(
+            clips, pairs=content_pairs
+        ),
     }
     for k, pdf in outs.items():
         tmp = f"{paths[k]}.tmp.{os.getpid()}"

@@ -534,3 +534,24 @@ def test_neardup_pairs_plan_equijoin_only(clips_df):
     )
     # hygiene: the operator persists its internal fingerprint frame
     clips_df.sparkSession.catalog.clearCache()
+
+
+def test_labeler_shared_decode_pass_equivalence(clips_pdf):
+    """The fixture build decodes ONCE (audio_oracle.fingerprint_map) and
+    feeds the pair + content labelers; the shared-pass outputs must be
+    frame-identical to each labeler's own decode path, and the content
+    tier's max_ber=0.1 pairs must be exactly the 0.25 frame filtered
+    (max_ber is only the final filter)."""
+    clips = clips_pdf.drop(columns=["defect"])
+    fps_map = O.fingerprint_map(clips)
+    direct = O.label_fingerprint_pairs(clips)
+    shared = O.label_fingerprint_pairs(clips, fps=fps_map)
+    pd.testing.assert_frame_equal(direct, shared)
+    content_pairs = shared[shared.ber <= 0.1].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        O.label_fingerprint_pairs(clips, max_ber=0.1), content_pairs
+    )
+    pd.testing.assert_frame_equal(
+        O.label_content_decisions(clips),
+        O.label_content_decisions(clips, pairs=content_pairs),
+    )
