@@ -649,7 +649,11 @@ def simhash(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     element × n_bits, while the explode's shuffles are tiny after
     map-side combine. Fan-out ≠ slow when the agg is partial.
     """
-    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    from .text import spread_small_scan
+
+    toks = spread_small_scan(docs).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
     h = portable_hash64(F.col("tok")).alias("h")
     bits = toks.select("doc_id", h).select(
         "doc_id",

@@ -53,7 +53,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Per-document token count — whitespace tokens plus a BPE-ish subword
     estimate (ceil(chars/4), the common ~4-chars-per-token heuristic)."""
     toks = tokens_col(F.col("text"))
-    return docs.select(
+    return spread_small_scan(docs).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias("n_subword_est"),
@@ -102,7 +102,9 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.2) * F.when((mean_tok_len >= 3) & (mean_tok_len <= 9), 1.0).otherwise(0.0)
     )
-    return docs.select(
+    # the stopword HOF filter is interpreted per token — respread small
+    # scans so it parallelizes (see spread_small_scan)
+    return spread_small_scan(docs).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         round6(alpha_ratio).alias("alpha_ratio"),
@@ -119,7 +121,7 @@ def langid_heuristic(docs: DataFrame, min_ratio: float = 0.04) -> DataFrame:
     toks = tokens_col(F.col("text"))
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
     ratio = n_stop / F.size(toks)
-    return docs.select(
+    return spread_small_scan(docs).select(
         "doc_id",
         F.col("lang").alias("lang_label"),
         round6(ratio).alias("stop_ratio"),
@@ -128,15 +130,38 @@ def langid_heuristic(docs: DataFrame, min_ratio: float = 0.04) -> DataFrame:
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin respread — ONLY when the plan yields fewer partitions
-    than cores. A small single-file scan gives Spark one input partition,
-    which serializes any CPU-heavy map-side stage (interpreted HOF
-    lambdas, per-shingle md5, explode fan-out) on one core; at real
-    corpus scale the scan already has more splits than cores and this is
-    a no-op (no shuffle added)."""
+    """Round-robin respread before a CPU-heavy map stage — only when the
+    input is small enough that the shuffle is trivially cheap.
+
+    Two triggers:
+    * fewer scan partitions than cores (a small single-file input), and
+    * estimated input size under cores × 128 MB (the scan-split size).
+
+    The second trigger exists because the partition COUNT lies on
+    coarse-row-grouped parquet: Spark plans byte-range splits (e.g. 32
+    ~10 MB splits over a 311 MB file) but parquet rows go to the split
+    holding each ROW GROUP's midpoint, so a 5-row-group file feeds rows
+    to only 5 of the 32 tasks — `getNumPartitions()` reports 32 and the
+    old count-only heuristic skipped the respread, serializing a 250M-
+    shingle md5 stage onto 5 cores at the sf10 sweep (measured 141 s →
+    ~20 s respread). Below the size bound the repartition moves less
+    than one scan split per core — noise next to the map stage it
+    parallelizes; above it a sanely-ingested corpus (byte-bounded row
+    groups — the layout contract tools/gen_scale_tables and
+    corpus/generator now enforce) already has ≥ cores data-bearing
+    splits, and no shuffle is added at real corpus scale."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df
+    if size < par * 128 * 2**20:
+        return df.repartition(par)
     return df
 
 
@@ -168,24 +193,23 @@ def fingerprints(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFra
     all character k-gram shingles (1-min-sketch — the degenerate MinHash;
     doubles as a cheap content fingerprint for near-dup candidate pruning).
 
-    Plan: array_min over a transform() of shingle hashes — no shuffle in
-    the steady state (the former explode + groupBy(doc_id) formulation
-    paid a partial-agg shuffle and the explode row blow-up; this is a
-    pure map over the scan, the plan you want for a per-row sketch at
-    any corpus size). One caveat inherited from Spark: HOF lambdas are
-    evaluated INTERPRETED (one md5 per character here), so if the scan
-    yields fewer partitions than cores (a small single-file input — the
-    sf0.1 documents table is exactly that) the whole CPU-heavy map
-    serializes on one core; only in that degenerate case is the input
-    respread first (at real corpus scale the scan already has more
-    splits than cores and no shuffle happens).
+    Plan: shingle explode → md5 → ONE partial-aggregatable groupBy(doc_id)
+    min. The md5/conv chain runs inside WHOLE-STAGE CODEGEN on the
+    exploded rows, and the map-side partial min shrinks the shuffle to
+    one 16-byte row per doc per task.
+
+    A zero-shuffle `array_min(transform(...))` formulation was shipped
+    in rounds 2–4 and measured marginally faster at sf≤0.1. The sf10
+    sweep (500k docs, 250M shingles) replaced it: the interpreted HOF
+    lambda and this explode plan cost the same per shingle (measured
+    141 vs 144 s when both were bound to 5 data-bearing scan tasks by
+    the coarse-row-group + respread-heuristic defect spread_small_scan
+    now fixes), but the explode formulation partial-aggregates map-side
+    (16 bytes/doc shuffled) and keeps the md5 in whole-stage codegen
+    behind a Generate the optimizer cannot fold back into the scan-side
+    projection. Measured at sf10, local[32], after the respread fix:
+    662 s (shipped r4 code on a single-row-group scan) → 29 s.
     """
-    docs = spread_small_scan(docs)
-    hashes = F.expr(
-        f"transform(sequence(1, length({text_col}) - {k - 1}),"
-        f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15), 16, 10) as bigint))"
-    )
-    return (
-        docs.where(F.length(text_col) >= k)
-        .select("doc_id", F.array_min(hashes).alias("fingerprint"))
-    )
+    sh = shingles(docs, k, text_col)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    return sh.groupBy("doc_id").agg(F.min(h).alias("fingerprint"))

@@ -448,8 +448,8 @@ def q_groupby_source(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS sum_disc,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e6 AS sum_disc,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*), 4) AS avg_qty,
            count(*) AS n
@@ -460,16 +460,22 @@ def q_groupby_source(spark, sf_dir):
 )
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary — the canonical multi-aggregate
-    groupBy (partial+final, decimal-exact sums)."""
+    groupBy (partial+final, decimal-exact sums). sum_disc uses the
+    join_fk_count scaled-integer discipline (floor(x*1e6+0.5), exact
+    decimal sum): the per-row double→DECIMAL(18,6) cast rounds the
+    shortest decimal repr HALF_UP in Spark but the binary value in
+    DuckDB, and at the sf10 sweep's 60M lineitems those representational
+    ties accumulated to a visible last-ulp divergence in the group sums."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
     )
+    disc_scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-        ).cast("double").alias("sum_disc"),
+        (F.sum(disc_scaled).cast("double") / F.lit(1e6)).alias("sum_disc"),
         F.round(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1)),
@@ -483,8 +489,8 @@ def q_pricing_summary(spark, sf_dir):
     "top_unshipped_orders",
     """
     SELECT o_orderkey, o_orderdate,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
     GROUP BY o_orderkey, o_orderdate
@@ -494,21 +500,22 @@ def q_pricing_summary(spark, sf_dir):
 )
 def q_top_unshipped_orders(spark, sf_dir):
     """TPC-H Q3-shaped join + agg + top-k: date-filtered fact-fact join,
-    decimal-exact revenue, TakeOrderedAndProject top-k with tie-break."""
+    scaled-integer-exact revenue (the join_fk_count/pricing_summary
+    engine-determinism discipline), TakeOrderedAndProject top-k with
+    tie-break."""
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    rev_scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).cast("double").alias("revenue")
-        )
+        .agg((F.sum(rev_scaled).cast("double") / F.lit(1e6)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )

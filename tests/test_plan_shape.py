@@ -78,25 +78,26 @@ def test_udfs_not_marked_nondeterministic(spark):
         assert udf.deterministic, name
 
 
-def test_fingerprints_plan_has_no_shuffle(spark):
-    """The 1-min-sketch is a pure per-row map (array_min over transform);
-    an Exchange in this plan means someone reintroduced the explode +
-    groupBy formulation."""
+def test_fingerprints_plan_partial_aggregates(spark):
+    """The 1-min-sketch is shingle explode → codegen md5 → groupBy(doc_id)
+    min with a MAP-SIDE partial aggregate, so the doc_id shuffle carries
+    one 16-byte row per doc per task — not the exploded shingles. (The
+    former zero-shuffle array_min(transform(...)) formulation was
+    retired by the sf10 sweep: the interpreted HOF cost the same per
+    shingle and could not be respread-parallelized; see
+    operators/text.fingerprints.)"""
     from data_quality_checker_spark.operators.text import fingerprints
 
     docs = spark.createDataFrame(
         [(1, "some document text long enough to shingle")],
         "doc_id bigint, text string",
     )
-    # steady state: input already at cluster parallelism → pure map
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    plan = _executed_plan(fingerprints(spread))
-    assert plan.count("Exchange") == 1, plan[:1200]  # only the setup repartition
-    assert "hashpartitioning" not in plan.lower(), plan[:1200]
-
-    # degenerate single-partition input: exactly ONE round-robin respread
-    # (the interpreted HOF must not serialize on one core), still no
-    # aggregation shuffle
-    plan1 = _executed_plan(fingerprints(docs.coalesce(1)))
-    assert plan1.count("Exchange") <= 2, plan1[:1200]
-    assert "hashpartitioning" not in plan1.lower(), plan1[:1200]
+    plan = _executed_plan(fingerprints(docs.coalesce(1)))
+    # partial min BEFORE the hashpartitioning exchange (map-side combine)
+    assert "partial_min" in plan, plan[:1200]
+    assert "hashpartitioning(doc_id" in plan, plan[:1200]
+    # exactly one round-robin respread for the degenerate small scan +
+    # one aggregation shuffle — the explode fan-out itself never shuffles
+    assert plan.count("Exchange") <= 2, plan[:1200]
+    # md5/conv runs inside whole-stage codegen, not an interpreted HOF
+    assert "transform(" not in plan, plan[:1200]

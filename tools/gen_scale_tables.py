@@ -55,9 +55,20 @@ ROWS_PER_SF = {
 def _write(df: pd.DataFrame, out_dir: str, name: str) -> None:
     path = os.path.join(out_dir, f"{name}.parquet")
     tmp = f"{path}.tmp.{os.getpid()}"
-    df.to_parquet(tmp, index=False)
+    # Byte-bounded row groups (~64 MB): pyarrow's default bound is 1Mi
+    # ROWS, so any table under a million rows lands in ONE row group and
+    # parquet readers parallelize across row groups — the sf10 sweep's
+    # 500k-doc table became one 311 MB group, serializing every doc-scan
+    # stage on a single Spark task (doc_fingerprints measured 662 s; the
+    # same defect class as corpus/generator._payload_row_group_rows).
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    avg = max(table.nbytes // max(table.num_rows, 1), 1)
+    rows_per = max(1024, min(table.num_rows or 1, int(64 * 2**20 // avg)))
+    df.to_parquet(tmp, index=False, row_group_size=rows_per)
     os.replace(tmp, path)
-    print(f"wrote {path}  rows={len(df)}")
+    print(f"wrote {path}  rows={len(df)}  rows_per_group={rows_per}")
 
 
 def gen_dims(out_dir: str) -> None:
