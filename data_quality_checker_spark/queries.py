@@ -289,23 +289,26 @@ def q_histogram_price(spark, sf_dir):
 def q_orders_profile(spark, sf_dir):
     """A6 + A15/A16 sharing one scan (registry curation, round 4 —
     formerly outlier_count_iqr / column_moments): IQR·1.5 fence outlier
-    count (validator.py:270-294 — tiny quantile pre-pass broadcast-joined
-    into the scan, two jobs, no collect-loop) plus the column moments
-    incl. stddev (ml_advisor.py:261-275), computed in the SAME second
-    aggregate so the merge costs zero extra passes."""
+    count (validator.py:270-294) plus the column moments incl. stddev
+    (ml_advisor.py:261-275), computed in the SAME second aggregate so
+    the merge costs zero extra passes. The quantile pre-pass uses
+    exact_quantiles_scalable (bit-identical to ``percentile()``): the
+    raw exact-percentile aggregate buffers EVERY value in one task —
+    the single-buffer scale-killer summary_stats already moved off, and
+    the sf10 sweep's slowest Spark-only row (94.7 s over 15M orders →
+    ~7 s; OOM at 10^12)."""
+    from .operators.outliers import exact_quantiles_scalable
+
     o = _t(spark, sf_dir, "orders")
-    b = o.agg(
-        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
-        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
-    )
-    j = o.crossJoin(F.broadcast(b))
-    return j.agg(
-        F.round(F.first(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("lo"),
-        F.round(F.first(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))), 4).alias("hi"),
+    q1, q3 = exact_quantiles_scalable(o, "o_totalprice", [0.25, 0.75])
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    return o.agg(
+        F.round(F.lit(lo), 4).alias("lo"),
+        F.round(F.lit(hi), 4).alias("hi"),
         F.sum(
             (
-                (F.col("o_totalprice") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
-                | (F.col("o_totalprice") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+                (F.col("o_totalprice") < F.lit(lo))
+                | (F.col("o_totalprice") > F.lit(hi))
             ).cast("bigint")
         ).alias("n_outliers"),
         F.round(F.min("o_totalprice"), 4).alias("price_min"),
